@@ -1,0 +1,87 @@
+"""Bidirectional, cache-less multi-head attention.
+
+The diffusion LMs here attend over the *full* sequence every denoising step —
+there is no causal mask and no KV cache (the reference's hot loop re-runs
+``model(x).logits`` on the whole sequence each step,
+Inference/chat_finetuned.py:77).  That makes non-causal flash attention the
+single hottest kernel of the framework.
+
+Two implementations behind one dispatcher:
+
+- ``reference``: pure jnp einsum + f32 softmax.  Runs anywhere (CPU tests),
+  and is the numerics oracle for the Pallas kernel.
+- ``pallas``: blockwise online-softmax flash attention for TPU
+  (ops/flash_attention.py), VMEM-tiled for the MXU.
+
+Shapes follow the GQA convention:
+    q: [B, S, H,  Dh]    k, v: [B, S, KV, Dh]    with H % KV == 0.
+Optional ``mask``: [B, S] with 1 = real token, 0 = padding.  Padding keys are
+excluded from every query's softmax; padded query rows produce garbage that
+callers must ignore (the sampler only reads real positions).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    if n_rep == 1:
+        return x
+    b, s, kv, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, kv, n_rep, d)).reshape(b, s, kv * n_rep, d)
+
+
+def attention_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """jnp reference attention (softmax in f32, output in q.dtype)."""
+    n_rep = q.shape[2] // k.shape[2]
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        bias = jnp.where(mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
+        logits = logits + bias
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatch to the Pallas flash kernel on TPU, jnp reference elsewhere."""
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "reference"
+    if impl == "pallas":
+        from ct_diffusionmodelbench_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask)
+    if impl == "reference":
+        return attention_reference(q, k, v, mask=mask)
+    raise ValueError(f"unknown attention impl {impl!r}")

@@ -1,0 +1,165 @@
+"""Pallas TPU flash attention — bidirectional, cache-less, GQA-aware.
+
+The single hottest kernel of the framework: every denoise step of every
+sampler is a full-sequence non-causal forward (the reference's
+``model(x).logits`` hot loop, Inference/chat_finetuned.py:67-77; cost model
+in SURVEY.md §3.1).  Classic blockwise online-softmax flash attention:
+
+- grid over (batch, query-head, query-tile); each program streams the
+  key/value tiles for its (batch, kv-head) through VMEM,
+- running max / denominator carried in f32; probabilities cast to the value
+  dtype only for the [TQ, TK] @ [TK, Dh] MXU matmul, accumulated in f32,
+- GQA folded into the index map (query head h reads kv head h // rep — no
+  materialized K/V repeat, unlike the jnp reference),
+- optional padding mask enters as an additive f32 bias row, so batched
+  left-padded prompts cost one extra [S] vector per (batch, tile).
+
+No causal path on purpose: diffusion LMs never use one.  Backward pass uses
+the jnp reference VJP for now (inference is the perf target; training runs
+``attn_impl='reference'`` by default) — a fused Pallas backward is tracked
+for a later round.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ct_diffusionmodelbench_tpu.ops.attention import attention_reference
+
+DEFAULT_TQ = 256
+DEFAULT_TK = 512
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, tk, s_pad):
+    # Blocks are [1, 1, T, Dh] slices of the [B, H, S_pad, Dh] layout so the
+    # trailing two dims satisfy Mosaic's (8, 128) tiling constraint.
+    q = q_ref[0, 0, :, :]  # [TQ, Dh]
+    tq, dh = q.shape
+    nk = s_pad // tk
+
+    def body(j, carry):
+        acc, m, l = carry
+        k_blk = k_ref[0, 0, pl.ds(j * tk, tk), :]          # [TK, Dh]
+        v_blk = v_ref[0, 0, pl.ds(j * tk, tk), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                           # [TQ, TK] f32
+        s = s + bias_ref[0, 0, pl.ds(j * tk, tk)][None, :]
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha[:, None] + pv
+        return acc, m_new, l
+
+    acc = jnp.zeros((tq, dh), jnp.float32)
+    m = jnp.full((tq,), NEG_INF, jnp.float32)
+    l = jnp.zeros((tq,), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, nk, body, (acc, m, l))
+
+    out = acc / jnp.maximum(l, 1e-30)[:, None]
+    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    tile_q: int = DEFAULT_TQ,
+    tile_k: int = DEFAULT_TK,
+) -> jnp.ndarray:
+    """q: [B, S, H, Dh]; k, v: [B, S, KV, Dh]; mask: [B, S] (1 = real).
+
+    Returns [B, S, H, Dh] in q.dtype.  Numerics oracle:
+    ops.attention.attention_reference (asserted in tests).
+    """
+    return _flash_forward(q, k, v, mask, tile_q, tile_k)
+
+
+def _flash_forward(q, k, v, mask, tile_q, tile_k):
+    b, s, h, dh = q.shape
+    kv = k.shape[2]
+    rep = h // kv
+    scale = dh ** -0.5
+
+    tq = min(tile_q, _round_up(s, 128))
+    tk = min(tile_k, _round_up(s, 128))
+    sq_pad = _round_up(s, tq)
+    sk_pad = _round_up(s, tk)
+
+    # [B, S, H, Dh] → [B, H, S_pad, Dh]: heads out of the tiled trailing dims.
+    qp = jnp.pad(q, ((0, 0), (0, sq_pad - s), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    kp = jnp.pad(k, ((0, 0), (0, sk_pad - s), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    vp = jnp.pad(v, ((0, 0), (0, sk_pad - s), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+
+    if mask is None:
+        valid = jnp.ones((b, s), jnp.float32)
+    else:
+        valid = mask.astype(jnp.float32)
+    valid = jnp.pad(valid, ((0, 0), (0, sk_pad - s)))
+    bias = jnp.where(valid > 0, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]  # [B, 1, S_pad]
+
+    grid = (b, h, sq_pad // tq)
+    kernel = functools.partial(_flash_kernel, scale=scale, tk=tk, s_pad=sk_pad)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_pad, dh), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_pad, dh), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * dh,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * s * s,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp, bias)
+    return out.transpose(0, 2, 1, 3)[:, :s]
+
+
+def _fwd(q, k, v, mask, tile_q, tile_k):
+    out = _flash_forward(q, k, v, mask, tile_q, tile_k)
+    return out, (q, k, v, mask)
+
+
+def _bwd(tile_q, tile_k, res, g):
+    # Reference VJP (recompute): correct gradients, O(S^2) memory transiently.
+    # Training defaults to attn_impl='reference' where XLA fuses this anyway;
+    # a fused Pallas backward is a later-round optimization.
+    q, k, v, mask = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, mask), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_fwd, _bwd)

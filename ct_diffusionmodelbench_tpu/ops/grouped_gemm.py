@@ -1,0 +1,68 @@
+"""Grouped (ragged) expert GEMM for MoE FFNs.
+
+The reference runs LLaDA-MoE's experts inside opaque HF remote code on CUDA
+(SURVEY.md §2.4 row P4/P7).  TPU-native equivalent: sort the token→expert
+assignments so each expert's tokens are contiguous, then run ragged matmuls
+that only spend MXU FLOPs on routed tokens.
+
+Two backends:
+- :func:`grouped_expert_ffn` — ``jax.lax.ragged_dot`` based; XLA lowers this
+  to a tiled grouped GEMM on TPU and it is the default grouped path.
+- ops/grouped_gemm_pallas.py — hand-written Pallas kernel with scalar
+  prefetch of per-group offsets (used when ``CTDB_GROUPED_GEMM=pallas``).
+
+Numerics oracle: models/moe.py ``_experts_dense`` (one-hot einsum); tests
+assert grouped == dense.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def _sort_by_expert(topk_idx: jnp.ndarray, num_experts: int):
+    """Flatten [N, K] assignments → stable-sorted order by expert id."""
+    n, k = topk_idx.shape
+    flat_expert = topk_idx.reshape(-1)
+    order = jnp.argsort(flat_expert, stable=True)          # [N*K]
+    group_sizes = jnp.bincount(flat_expert, length=num_experts)
+    token_of = order // k                                  # source token per slot
+    return order, token_of, group_sizes.astype(jnp.int32)
+
+
+def grouped_expert_ffn(
+    x: jnp.ndarray,          # [N, D]
+    topk_probs: jnp.ndarray,  # [N, K] f32
+    topk_idx: jnp.ndarray,    # [N, K] i32
+    we_gate: jnp.ndarray,     # [E, D, Fm]
+    we_up: jnp.ndarray,       # [E, D, Fm]
+    we_down: jnp.ndarray,     # [E, Fm, D]
+) -> jnp.ndarray:
+    num_experts = we_gate.shape[0]
+    order, token_of, group_sizes = _sort_by_expert(topk_idx, num_experts)
+
+    xs = jnp.take(x, token_of, axis=0)                     # [N*K, D] sorted by expert
+
+    if os.environ.get("CTDB_GROUPED_GEMM") == "pallas":
+        from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import ragged_matmul
+
+        gate = ragged_matmul(xs, we_gate, group_sizes)
+        up = ragged_matmul(xs, we_up, group_sizes)
+        h = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
+        out_sorted = ragged_matmul(h, we_down, group_sizes)
+    else:
+        gate = jax.lax.ragged_dot(xs, we_gate, group_sizes,
+                                  preferred_element_type=jnp.float32)
+        up = jax.lax.ragged_dot(xs, we_up, group_sizes,
+                                preferred_element_type=jnp.float32)
+        h = (jax.nn.silu(gate) * up).astype(x.dtype)
+        out_sorted = jax.lax.ragged_dot(h, we_down, group_sizes,
+                                        preferred_element_type=jnp.float32)
+
+    weights = topk_probs.reshape(-1)[order]                # [N*K] f32
+    contrib = out_sorted.astype(jnp.float32) * weights[:, None]
+    out = jnp.zeros((x.shape[0], x.shape[1]), jnp.float32).at[token_of].add(contrib)
+    return out.astype(x.dtype)

@@ -1,0 +1,234 @@
+"""Dream / DiffuCoder ``diffusion_generate`` semantics, implemented natively.
+
+The reference delegates this sampler to HF remote code downloaded at runtime
+(Pre-Trained/bench_models/dream.py:70-110 and diffucoder.py:68-102 call
+``model.diffusion_generate(input_ids, attention_mask, max_new_tokens, steps,
+temperature=0.4, top_p=0.95, alg="entropy", alg_temp=0.0,
+output_history=True, return_dict_in_generate=True)``); the algorithm itself
+never appears in the repo (SURVEY.md §2.1 C7).  This module implements the
+published Dream decoding algorithm from scratch as a fused jitted loop:
+
+    timesteps t_i = linspace(1, eps, steps+1)
+    per step, on the full bidirectional forward (logits already shifted by
+    the model's ``logit_shift``):
+      - sample candidate tokens at masked positions with
+        temperature / top-p / top-k filtering,
+      - score each masked position by the chosen `alg`:
+          'origin'       — no scoring; each masked position independently
+                           transfers with probability 1 - s/t,
+          'maskgit_plus' — chosen-token probability,
+          'topk_margin'  — top1 - top2 probability margin,
+          'entropy'      — negative entropy of the token distribution,
+      - transfer the ``floor(mask_count * (1 - s/t))`` highest-scored
+        positions (everything on the final step); with ``alg_temp > 0`` the
+        positions are instead sampled ∝ softmax(score / alg_temp) via
+        Gumbel-top-k.
+
+Static-shape notes: the reference computes on ragged ``logits[mask_index]``
+tensors; here every op runs full-width [B, S(, V)] with -inf masking, which
+is the jit/TPU-native formulation of the identical math.  Transfer counts are
+per *row* (the remote code averages the mask count over the batch; identical
+at the reference's batch size of 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ct_diffusionmodelbench_tpu.ops.sampling_ops import rank_topk_mask
+
+NEG_INF = -jnp.inf
+# top-p is applied inside a top-K prefilter of the vocab (lax.top_k) instead
+# of a full-vocab sort: exact whenever the top-p nucleus fits in the prefilter
+# (always, at top_p <= 0.99 on trained LMs), and ~20x cheaper per step at
+# V≈152k.
+TOP_P_PREFILTER = 1024
+
+
+@dataclass(frozen=True)
+class DreamSamplerConfig:
+    steps: int = 256
+    max_new_tokens: int = 256
+    temperature: float = 0.4
+    top_p: Optional[float] = 0.95
+    top_k: Optional[int] = None
+    alg: str = "entropy"          # origin | maskgit_plus | topk_margin | entropy
+    alg_temp: float = 0.0
+    mask_id: int = 151666
+    eps: float = 1e-3
+
+    def __post_init__(self):
+        if self.alg not in ("origin", "maskgit_plus", "topk_margin", "entropy"):
+            raise NotImplementedError(self.alg)
+
+
+def _filter_and_sample(logits, sc: DreamSamplerConfig, key):
+    """Temperature/top-p/top-k token sampling + per-position stats.
+
+    logits: [B, S, V] f32 → (x0 [B,S] i32, conf [B,S] f32 per alg scoring).
+
+    Follows the published ``sample_tokens``: temperature scales logits, then
+    top-p/top-k restrict the support, then confidences are probabilities under
+    the *filtered* softmax (full softmax when no filter is active).
+    """
+    work = logits / sc.temperature if sc.temperature > 0 else logits
+
+    K = min(TOP_P_PREFILTER, work.shape[-1])
+    top_vals, top_idx = jax.lax.top_k(work, K)  # [B, S, K] descending
+    filtered = top_vals
+    filtering = False
+
+    if sc.top_k is not None and sc.top_k < K:
+        pos = jnp.arange(K)[None, None, :]
+        filtered = jnp.where(pos < sc.top_k, filtered, NEG_INF)
+        filtering = True
+
+    if sc.top_p is not None and sc.top_p < 1.0:
+        # Nucleus rule on the (prefiltered) sorted probabilities: drop token i
+        # iff cumulative mass before it already exceeds top_p.  Exact as long
+        # as the nucleus fits in the K-token prefilter.
+        probs_sorted = jax.nn.softmax(filtered, axis=-1)
+        cum = jnp.cumsum(probs_sorted, axis=-1)
+        drop = (cum - probs_sorted) > sc.top_p
+        filtered = jnp.where(drop, NEG_INF, filtered)
+        filtering = True
+
+    if filtering:
+        lse = jax.scipy.special.logsumexp(filtered, axis=-1, keepdims=True)
+    else:
+        lse = jax.scipy.special.logsumexp(work, axis=-1, keepdims=True)
+    log_probs = filtered - lse  # [B, S, K], -inf where dropped
+
+    if sc.temperature > 0:
+        g = -jnp.log(-jnp.log(jax.random.uniform(
+            key, filtered.shape, jnp.float32, minval=1e-20, maxval=1.0)))
+        choice = jnp.argmax(jnp.where(jnp.isfinite(log_probs), log_probs + g, NEG_INF), axis=-1)
+    else:
+        choice = jnp.zeros(filtered.shape[:-1], jnp.int32)  # argmax = first of sorted
+
+    x0 = jnp.take_along_axis(top_idx, choice[..., None], axis=-1)[..., 0]
+    chosen_p = jnp.exp(jnp.take_along_axis(log_probs, choice[..., None], axis=-1)[..., 0])
+
+    if sc.alg == "topk_margin":
+        p = jnp.exp(log_probs)
+        conf = p[..., 0] - p[..., 1]
+    elif sc.alg == "entropy":
+        # Negative entropy of the full distribution, matching the published
+        # sample_tokens(neg_entropy=True): sum p log p (higher = confident).
+        full_probs = jax.nn.softmax(work, axis=-1)
+        conf = jnp.sum(full_probs * jnp.log(full_probs + 1e-10), axis=-1)
+    else:  # maskgit_plus / origin use chosen-token probability
+        conf = chosen_p
+    return x0.astype(jnp.int32), conf
+
+
+def _dream_loop(forward_fn, sc: DreamSamplerConfig, x, attn_mask, key, record_history: bool):
+    B, S = x.shape
+    timesteps = jnp.linspace(1.0, sc.eps, sc.steps + 1)
+
+    def step(i, carry):
+        x, key, history = carry
+        key, k_tok, k_pos = jax.random.split(key, 3)
+        mask_index = x == sc.mask_id
+        logits, _ = forward_fn(x, attn_mask)
+        x0, conf = _filter_and_sample(logits.astype(jnp.float32), sc, k_tok)
+
+        t = timesteps[i]
+        s = timesteps[i + 1]
+        is_last = i == sc.steps - 1
+
+        if sc.alg == "origin":
+            p_transfer = jnp.where(is_last, 1.0, 1.0 - s / t)
+            u = jax.random.uniform(k_pos, x.shape)
+            transfer = mask_index & (u < p_transfer)
+        else:
+            mask_num = jnp.sum(mask_index, axis=1)  # [B]
+            k_count = jnp.where(
+                is_last, mask_num,
+                (mask_num.astype(jnp.float32) * (1.0 - s / t)).astype(jnp.int32),
+            )
+            full_conf = jnp.where(mask_index, conf, NEG_INF)
+            if sc.alg_temp and sc.alg_temp > 0:
+                # Gumbel-top-k == sampling k positions without replacement
+                # ∝ softmax(conf / alg_temp).
+                g = -jnp.log(-jnp.log(jax.random.uniform(
+                    k_pos, full_conf.shape, jnp.float32, minval=1e-20, maxval=1.0)))
+                full_conf = jnp.where(mask_index, full_conf / sc.alg_temp + g, NEG_INF)
+            transfer = rank_topk_mask(full_conf, k_count) & mask_index
+
+        x = jnp.where(transfer, x0, x)
+        if record_history:
+            history = history.at[i].set(x)
+        return (x, key, history)
+
+    history0 = (jnp.zeros((sc.steps, B, S), x.dtype) if record_history
+                else jnp.zeros((0, B, S), x.dtype))
+    x, _, history = jax.lax.fori_loop(0, sc.steps, step, (x, key, history0))
+    return x, history
+
+
+def make_dream_sampler(
+    forward_fn: Callable,
+    sampler_config: DreamSamplerConfig,
+    prompt_len: int,
+    output_history: bool = False,
+) -> Callable:
+    """Returns ``sample(params, prompt_ids, attn_mask=None, key=None)``
+    → (sequences [B, P+G], history [steps or 0, B, P+G])."""
+    sc = sampler_config
+
+    @jax.jit
+    def sample(params, prompt_ids, attn_mask=None, key=None):
+        if key is None:
+            key = jax.random.key(0)
+        B = prompt_ids.shape[0]
+        gen = jnp.full((B, sc.max_new_tokens), sc.mask_id, prompt_ids.dtype)
+        x = jnp.concatenate([prompt_ids, gen], axis=1)
+        full_mask = None
+        if attn_mask is not None:
+            ones = jnp.ones((B, sc.max_new_tokens), attn_mask.dtype)
+            full_mask = jnp.concatenate([attn_mask, ones], axis=1)
+        fwd = lambda ids, m: forward_fn(params, ids, m)
+        return _dream_loop(fwd, sc, x, full_mask, key, output_history)
+
+    return sample
+
+
+_SAMPLER_CACHE: dict = {}
+
+
+def dream_generate(
+    forward_fn: Callable,
+    params,
+    prompt_ids: jnp.ndarray,
+    *,
+    steps: int = 256,
+    max_new_tokens: int = 256,
+    temperature: float = 0.4,
+    top_p: Optional[float] = 0.95,
+    top_k: Optional[int] = None,
+    alg: str = "entropy",
+    alg_temp: float = 0.0,
+    mask_id: int = 151666,
+    attn_mask: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    output_history: bool = False,
+):
+    """Native equivalent of the remote-code ``model.diffusion_generate``."""
+    sc = DreamSamplerConfig(
+        steps=steps, max_new_tokens=max_new_tokens, temperature=temperature,
+        top_p=top_p, top_k=top_k, alg=alg, alg_temp=alg_temp, mask_id=mask_id,
+    )
+    prompt_len = int(prompt_ids.shape[1])
+    cache_key = (id(forward_fn), dataclasses.astuple(sc), prompt_len,
+                 prompt_ids.shape[0], attn_mask is not None, output_history)
+    sampler = _SAMPLER_CACHE.get(cache_key)
+    if sampler is None:
+        sampler = make_dream_sampler(forward_fn, sc, prompt_len, output_history)
+        _SAMPLER_CACHE[cache_key] = sampler
+    return sampler(params, prompt_ids, attn_mask=attn_mask, key=key)

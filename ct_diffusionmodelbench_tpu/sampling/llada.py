@@ -1,0 +1,219 @@
+"""LLaDA block-diffusion sampler as one jitted fused on-device loop.
+
+Reference algorithm (canonical copy Inference/chat_finetuned.py:35-106,
+duplicated 6x across the repo — SURVEY.md §2.1 C1):
+
+    x = [prompt ‖ mask_id × gen_length]
+    for each semi-autoregressive block:
+        counts = evenly-distributed transfer schedule over the block's masks
+        for each step in the block:
+            full-sequence forward (optionally CFG batch-doubling)
+            avoid_eos: logits[..., eos] = -inf
+            gumbel-noise argmax → x0
+            confidence = softmax prob of x0 ('low_confidence') or uniform
+            confidence beyond the current block = -inf; non-mask = -inf
+            unmask exactly counts[row, step] top-confidence positions
+
+The reference dispatches ``steps`` separate torch forwards from Python with
+per-step CPU↔GPU sync; here the *entire* loop — all blocks, all steps — is a
+single ``lax.fori_loop`` inside one jit: no host round-trips, static shapes,
+the block index derived from the step counter.  Per-step transfer counts are
+recomputed on-device at block starts (``lax.cond``), exactly matching the
+reference even when the prompt itself contains mask tokens.
+
+Parity notes (SURVEY.md §7 hard-part 1):
+- greedy (temperature 0) is the reference's benchmark configuration and
+  needs no RNG: token equality requires only matching logits + argmax/topk
+  tie order (stable lowest-index, same as torch on contiguous tensors).
+- temperature > 0 uses JAX RNG; the reference uses torch RNG
+  (chat_finetuned.py:20 ``torch.rand_like``), so only distributional
+  equivalence is possible there.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ct_diffusionmodelbench_tpu.ops.sampling_ops import (
+    gumbel_rescore,
+    rank_topk_mask,
+    token_confidence,
+)
+from ct_diffusionmodelbench_tpu.sampling.schedule import get_num_transfer_tokens
+
+NEG_INF = -jnp.inf
+
+
+@dataclass(frozen=True)
+class LLaDASamplerConfig:
+    steps: int = 128
+    gen_length: int = 128
+    block_length: int = 32
+    temperature: float = 0.0
+    cfg_scale: float = 0.0
+    remasking: str = "low_confidence"   # low_confidence | random
+    mask_id: int = 156895
+    avoid_eos: bool = False
+    eos_token_id: Optional[int] = None
+
+    def __post_init__(self):
+        if self.gen_length % self.block_length != 0:
+            raise ValueError("gen_length must be divisible by block_length "
+                             "(reference asserts this, chat_finetuned.py:58)")
+        num_blocks = self.gen_length // self.block_length
+        if self.steps % num_blocks != 0:
+            raise ValueError("steps must be divisible by num_blocks "
+                             "(reference asserts this, chat_finetuned.py:60)")
+        if self.remasking not in ("low_confidence", "random"):
+            raise NotImplementedError(self.remasking)
+
+    @property
+    def num_blocks(self) -> int:
+        return self.gen_length // self.block_length
+
+    @property
+    def steps_per_block(self) -> int:
+        return self.steps // self.num_blocks
+
+
+def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask, key):
+    """The fused loop body. x: [B, P+G] int32; prompt_len: static int."""
+    B, S = x.shape
+    spb = sc.steps_per_block
+    prompt_index = x != sc.mask_id
+    positions = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    def logits_fn(x, key):
+        if sc.cfg_scale > 0.0:
+            # CFG: second half of the doubled batch sees the prompt re-masked
+            # (chat_finetuned.py:69-75).
+            un_x = jnp.where(prompt_index, sc.mask_id, x)
+            both = jnp.concatenate([x, un_x], axis=0)
+            m = None if attn_mask is None else jnp.concatenate([attn_mask, attn_mask], axis=0)
+            logits, _ = forward_fn(both, m)
+            cond, uncond = jnp.split(logits, 2, axis=0)
+            logits = uncond + (sc.cfg_scale + 1.0) * (cond - uncond)
+        else:
+            logits, _ = forward_fn(x, attn_mask)
+        if sc.avoid_eos and sc.eos_token_id is not None:
+            logits = logits.at[..., sc.eos_token_id].set(NEG_INF)
+        return logits
+
+    def compute_counts(x, block):
+        start = prompt_len + block * sc.block_length
+        block_ids = jax.lax.dynamic_slice_in_dim(x, start, sc.block_length, axis=1)
+        return get_num_transfer_tokens(block_ids == sc.mask_id, spb)
+
+    def step(s, carry):
+        x, counts, key = carry
+        block = s // spb
+        i = s % spb
+
+        counts = jax.lax.cond(
+            i == 0, lambda: compute_counts(x, block), lambda: counts
+        )
+        k = jnp.take(counts, i, axis=1)  # [B]
+
+        key, k_gumbel, k_rand = jax.random.split(key, 3)
+        mask_index = x == sc.mask_id
+        logits = logits_fn(x, k_gumbel)
+
+        scores = gumbel_rescore(logits, sc.temperature, k_gumbel)
+        x0 = jnp.argmax(scores, axis=-1).astype(x.dtype)
+
+        if sc.remasking == "low_confidence":
+            x0_p = token_confidence(logits, x0)
+        else:  # random
+            x0_p = jax.random.uniform(k_rand, x.shape, jnp.float32)
+
+        # Never advance beyond the current block (chat_finetuned.py:95).
+        block_end = prompt_len + (block + 1) * sc.block_length
+        x0_p = jnp.where(positions >= block_end, NEG_INF, x0_p)
+
+        x0 = jnp.where(mask_index, x0, x)
+        confidence = jnp.where(mask_index, x0_p, NEG_INF)
+
+        transfer = rank_topk_mask(confidence, k)
+        x = jnp.where(transfer, x0, x)
+        return (x, counts, key)
+
+    counts0 = jnp.zeros((B, spb), jnp.int32)
+    x, _, _ = jax.lax.fori_loop(0, sc.steps, step, (x, counts0, key))
+    return x
+
+
+def make_llada_sampler(
+    forward_fn: Callable,
+    sampler_config: LLaDASamplerConfig,
+    prompt_len: int,
+) -> Callable:
+    """Build the jitted sampler for a fixed (prompt_len, config) shape class.
+
+    ``forward_fn(params, input_ids, attn_mask) -> (logits, aux)`` is the
+    model forward (models.make_forward_fn output).  Returns
+    ``sample(params, prompt_ids, attn_mask=None, key=None) -> [B, P+G]``.
+    """
+    sc = sampler_config
+
+    @partial(jax.jit, static_argnames=())
+    def sample(params, prompt_ids, attn_mask=None, key=None):
+        if key is None:
+            key = jax.random.key(0)
+        B = prompt_ids.shape[0]
+        gen = jnp.full((B, sc.gen_length), sc.mask_id, prompt_ids.dtype)
+        x = jnp.concatenate([prompt_ids, gen], axis=1)
+        full_mask = None
+        if attn_mask is not None:
+            ones = jnp.ones((B, sc.gen_length), attn_mask.dtype)
+            full_mask = jnp.concatenate([attn_mask, ones], axis=1)
+        fwd = lambda ids, m: forward_fn(params, ids, m)
+        return _denoise_loop(fwd, sc, x, prompt_len, full_mask, key)
+
+    return sample
+
+
+# Convenience one-shot API with a small compile cache keyed on shape class.
+_SAMPLER_CACHE: dict = {}
+
+
+def llada_generate(
+    forward_fn: Callable,
+    params,
+    prompt_ids: jnp.ndarray,
+    *,
+    steps: int = 128,
+    gen_length: int = 128,
+    block_length: int = 32,
+    temperature: float = 0.0,
+    cfg_scale: float = 0.0,
+    remasking: str = "low_confidence",
+    mask_id: int = 156895,
+    avoid_eos: bool = False,
+    eos_token_id: Optional[int] = None,
+    attn_mask: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Drop-in equivalent of the reference ``llada_generate``.
+
+    Same signature semantics as Inference/chat_finetuned.py:35-106, returning
+    [B, prompt_len + gen_length] token ids.
+    """
+    sc = LLaDASamplerConfig(
+        steps=steps, gen_length=gen_length, block_length=block_length,
+        temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
+        mask_id=mask_id, avoid_eos=avoid_eos, eos_token_id=eos_token_id,
+    )
+    prompt_len = int(prompt_ids.shape[1])
+    cache_key = (id(forward_fn), dataclasses.astuple(sc), prompt_len,
+                 prompt_ids.shape[0], attn_mask is not None)
+    sampler = _SAMPLER_CACHE.get(cache_key)
+    if sampler is None:
+        sampler = make_llada_sampler(forward_fn, sc, prompt_len)
+        _SAMPLER_CACHE[cache_key] = sampler
+    return sampler(params, prompt_ids, attn_mask=attn_mask, key=key)
