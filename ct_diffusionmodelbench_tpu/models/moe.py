@@ -79,7 +79,15 @@ def moe_block(
         x, params["router"], top_k, norm_topk
     )
     if impl == "auto":
-        impl = "grouped" if jax.default_backend() == "tpu" else "dense"
+        from ct_diffusionmodelbench_tpu.parallel.mesh import current_mesh
+
+        # Under a mesh, the one-hot einsum path partitions cleanly over the
+        # expert axis (GSPMD psums the combine); the ragged grouped GEMM is
+        # the single-chip fast path.
+        if current_mesh() is not None:
+            impl = "dense"
+        else:
+            impl = "grouped" if jax.default_backend() == "tpu" else "dense"
     run = _experts_grouped if impl == "grouped" else _experts_dense
     out = run(x, topk_probs, topk_idx, params["we_gate"], params["we_up"], params["we_down"])
     if "ws_gate" in params:

@@ -1,0 +1,12 @@
+from ct_diffusionmodelbench_tpu.parallel.mesh import (
+    make_mesh,
+    use_mesh,
+    current_mesh,
+    init_distributed,
+)
+from ct_diffusionmodelbench_tpu.parallel.sharding import (
+    param_specs,
+    data_spec,
+    shard_params,
+    make_sharded_forward,
+)

@@ -1,0 +1,124 @@
+"""Parameter/activation sharding rules (megatron-style TP + DP batching).
+
+Rules over the stacked-layer pytree (models/transformer.py):
+
+- Q/K/V projections column-parallel over attention heads, output projection
+  row-parallel → one psum per attention block.
+- MLP gate/up column-parallel over the hidden, down row-parallel → one psum
+  per FFN.
+- MoE: routed experts shard over ``model`` (expert parallelism); the router
+  and shared expert replicate.
+- Embedding and LM head shard over the vocab; norms replicate.
+- Activations shard the batch over ``data``.
+
+This is what the reference *claims* but never implements — its
+``device_map="auto"`` places whole layers on different GPUs sequentially
+(Training/Training_0to1k/train.py:116-122; SURVEY.md §2.4 P2).  Needed for
+real deployments: LLaDA-8B bf16 (~16.3 GB) exceeds one v5e chip's 16 GB HBM,
+so TP ≥ 2 is mandatory at full size (SURVEY.md §7 hard-part 7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ct_diffusionmodelbench_tpu.models.config import ModelConfig
+from ct_diffusionmodelbench_tpu.models.transformer import forward
+from ct_diffusionmodelbench_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, use_mesh
+
+
+def param_specs(cfg: ModelConfig) -> dict:
+    """PartitionSpec pytree matching the params structure."""
+    m = MODEL_AXIS
+    blocks = {
+        "attn_norm": P(),
+        "wq": P(None, None, m),
+        "wk": P(None, None, m),
+        "wv": P(None, None, m),
+        "wo": P(None, m, None),
+        "ffn_norm": P(),
+    }
+    if cfg.attention_bias:
+        blocks.update(bq=P(None, m), bk=P(None, m), bv=P(None, m))
+    if cfg.qk_norm:
+        blocks.update(q_norm=P(), k_norm=P())
+    if cfg.is_moe:
+        blocks.update(
+            router=P(),
+            we_gate=P(None, m, None, None),
+            we_up=P(None, m, None, None),
+            we_down=P(None, m, None, None),
+        )
+        if cfg.num_shared_experts:
+            blocks.update(
+                ws_gate=P(None, None, m),
+                ws_up=P(None, None, m),
+                ws_down=P(None, m, None),
+            )
+    else:
+        blocks.update(
+            w_gate=P(None, None, m),
+            w_up=P(None, None, m),
+            w_down=P(None, m, None),
+        )
+    specs = {
+        "embed": P(m, None),
+        "blocks": blocks,
+        "final_norm": P(),
+    }
+    if not cfg.tie_embeddings:
+        specs["lm_head"] = P(None, m)
+    return specs
+
+
+def data_spec() -> P:
+    return P(DATA_AXIS)
+
+
+def shard_params(cfg: ModelConfig, params: dict, mesh: jax.sharding.Mesh) -> dict:
+    """Place a parameter pytree onto the mesh per the TP rules."""
+    specs = param_specs(cfg)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def make_sharded_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
+                         remat: bool = False):
+    """jit-compiled forward with TP param shardings + DP batch sharding.
+
+    Multi-chip runs use the jnp reference attention (XLA partitions the
+    einsums from the annotations and fuses the softmax); the Pallas flash
+    kernel is the single-chip fast path until its shard_map wrapper lands.
+    Returns ``f(params, input_ids, attn_mask=None) -> (logits, aux)``.
+    """
+    cfg = cfg.replace(attn_impl="reference")
+    specs = param_specs(cfg)
+    pshard = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                          is_leaf=lambda x: isinstance(x, P))
+    dshard = NamedSharding(mesh, P(DATA_AXIS, None))
+
+    @partial(
+        jax.jit,
+        in_shardings=(pshard, dshard, None),
+        out_shardings=(NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS)),
+                       NamedSharding(mesh, P())),
+    )
+    def fn(params, input_ids, attn_mask):
+        with use_mesh(mesh):
+            logits, aux = forward(cfg, params, input_ids,
+                                  attn_mask=attn_mask, remat=remat)
+        logits = jax.lax.with_sharding_constraint(
+            logits, NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS)))
+        return logits, aux
+
+    def wrapper(params, input_ids, attn_mask=None):
+        return fn(params, input_ids, attn_mask)
+
+    return wrapper

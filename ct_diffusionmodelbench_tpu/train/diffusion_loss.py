@@ -1,0 +1,98 @@
+"""Masked-diffusion SFT objective.
+
+Reference semantics, reproduced exactly (SURVEY.md §2.1 C10/C11):
+
+- forward (noising) process (Training/Training_0to1k/train.py:90-99):
+  ``t ~ U(0,1)`` per row, ``p_mask = (1-eps)·t + eps`` broadcast over length,
+  Bernoulli-mask tokens to ``mask_id``.
+- loss (train.py:255-317): prompt region un-masked after noising; per-masked-
+  token CE weighted by ``1/p_mask`` and ``1/answer_length``; summed and
+  divided by batch size; ``+ aux_coef * aux_loss`` for MoE (0.01 at
+  train.py:310); NaN/inf guards (token-level nan_to_num with posinf→10.0 at
+  :304, whole-loss fallback to 1.0 at :312-313).
+
+TPU-native formulation: no boolean fancy indexing — everything is computed
+full-width [B, L] under a weight mask, so the step stays a single static
+jitted graph.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def forward_process(
+    input_ids: jnp.ndarray,
+    mask_id: int,
+    key: jax.Array,
+    eps: float = 1e-3,
+):
+    """Noising: returns (noisy_batch, masked_indices, p_mask), all [B, L]."""
+    b, l = input_ids.shape
+    k_t, k_mask = jax.random.split(key)
+    t = jax.random.uniform(k_t, (b,), jnp.float32)
+    p_mask = (1.0 - eps) * t + eps
+    p_mask = jnp.broadcast_to(p_mask[:, None], (b, l))
+    masked_indices = jax.random.uniform(k_mask, (b, l), jnp.float32) < p_mask
+    noisy_batch = jnp.where(masked_indices, mask_id, input_ids)
+    return noisy_batch, masked_indices, p_mask
+
+
+def diffusion_sft_loss(
+    forward_fn: Callable,
+    params,
+    input_ids: jnp.ndarray,      # [B, L] int32
+    prompt_lengths: jnp.ndarray,  # [B] int32
+    mask_id: int,
+    key: jax.Array,
+    aux_coef: float = 0.01,
+    eps: float = 1e-3,
+    attn_mask: Optional[jnp.ndarray] = None,
+):
+    """Scalar loss + metrics dict."""
+    b, l = input_ids.shape
+    noisy, _, p_mask = forward_process(input_ids, mask_id, key, eps)
+    p_mask = jnp.clip(p_mask, 1e-6, 1.0)
+
+    positions = jnp.arange(l, dtype=jnp.int32)[None, :]
+    prompt_region = positions < prompt_lengths[:, None]
+    # Never noise the prompt (train.py:264-267).
+    noisy = jnp.where(prompt_region, input_ids, noisy)
+
+    answer_lengths = jnp.maximum(l - prompt_lengths, 1).astype(jnp.float32)  # [B]
+
+    logits, aux = forward_fn(params, noisy, attn_mask)
+    logits = logits.astype(jnp.float32)
+
+    # Recompute the mask from the noised batch like the reference (:294-295)
+    # — positions whose original token *is* mask_id drop out identically.
+    masked = (noisy == mask_id) & (input_ids != mask_id)
+
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    target_logit = jnp.take_along_axis(logits, input_ids[..., None], axis=-1)[..., 0]
+    token_loss = lse - target_logit                                   # CE, [B, L]
+    token_loss = jnp.nan_to_num(token_loss, nan=0.0, posinf=10.0, neginf=0.0)
+    token_loss = token_loss / p_mask / answer_lengths[:, None]
+
+    w = masked.astype(jnp.float32)
+    loss = jnp.sum(token_loss * w) / b
+    n_masked = jnp.sum(w)
+
+    if aux_coef:
+        loss = loss + aux_coef * aux
+
+    # Whole-loss NaN/inf guard (train.py:312-313); zero loss when nothing was
+    # masked (:314-315).
+    loss = jnp.where(jnp.isnan(loss) | jnp.isinf(loss), 1.0, loss)
+    loss = jnp.where(n_masked > 0, loss, 0.0)
+
+    metrics = {
+        "loss": loss,
+        "aux_loss": aux,
+        "masked_tokens": n_masked,
+        "masked_ce": jnp.sum((lse - target_logit) * w) / jnp.maximum(n_masked, 1.0),
+    }
+    return loss, metrics

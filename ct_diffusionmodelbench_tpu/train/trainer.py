@@ -1,0 +1,343 @@
+"""Masked-diffusion SFT training loop (optax + jit, DP/TP-shardable).
+
+Replaces the reference's HF ``Trainer`` subclass stack (SURVEY.md §2.3):
+
+- ``OptimizedLLaDAMoETrainer.compute_loss`` → train/diffusion_loss.py,
+- TrainingArguments profile (Training/Training_0to1k/train.py:432-463:
+  AdamW, cosine schedule + 50 warmup steps, weight decay 0.01, bf16,
+  grad-accum, drop-last, eval every N steps) → :class:`TrainConfig`,
+- ``MetricsCallback`` + live ``training_logs.jsonl``
+  (train.py:397-408; Training_1kto21k/train.py:431-451) → metrics log,
+- optimized save: sharded safetensors, final-only by default
+  (train.py:337-392 ``_save``; ``save_strategy="no"`` + manual final save
+  :441,:500) and interrupt/error checkpoints (:486-497).
+
+TPU-native: one jitted train step — noising, forward, loss, grad-accum scan,
+AdamW update all on-device; gradient accumulation is a ``lax.scan`` over
+microbatches, not a Python loop with host syncs.
+"""
+
+from __future__ import annotations
+
+import json
+import signal
+import time
+from dataclasses import dataclass, field, asdict
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ct_diffusionmodelbench_tpu.models.config import ModelConfig
+from ct_diffusionmodelbench_tpu.models.transformer import make_forward_fn
+from ct_diffusionmodelbench_tpu.train.collator import DiffusionCollator
+from ct_diffusionmodelbench_tpu.train.diffusion_loss import diffusion_sft_loss
+from ct_diffusionmodelbench_tpu.io.checkpoint import save_checkpoint
+from ct_diffusionmodelbench_tpu.utils.logging import log_timing
+from ct_diffusionmodelbench_tpu.utils.jsonutil import to_jsonable
+
+
+@dataclass
+class TrainConfig:
+    output_dir: str = "./ctdb-finetuned"
+    num_epochs: int = 5
+    batch_size: int = 1                # per optimizer step, per microbatch
+    grad_accum: int = 4
+    learning_rate: float = 5e-5
+    warmup_steps: int = 50
+    lr_schedule: str = "cosine"        # cosine | constant
+    weight_decay: float = 0.01
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    max_length: int = 2048
+    eval_steps: int = 1000
+    logging_steps: int = 10
+    save_steps: int = 0                # 0 = final save only (save_strategy="no")
+    save_total_limit: int = 1
+    seed: int = 42
+    aux_loss_coef: float = 0.01
+    variable_length: bool = True
+    varlen_prob: float = 0.01
+    varlen_min: int = 8
+    bucket: int = 64
+    remat: bool = False
+    drop_last: bool = True
+
+
+def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
+    if cfg.lr_schedule == "cosine":
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(total_steps, cfg.warmup_steps + 1),
+        )
+    else:
+        schedule = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+
+    def decay_mask(params):
+        # HF AdamW skips weight decay for biases and norm scales (all 1-D/2-D
+        # stacked-norm leaves here are [L, D] scales — detect by key name).
+        def keyed(path, leaf):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            return not any(t in name for t in ("norm", "bias", "bq", "bk", "bv"))
+        return jax.tree_util.tree_map_with_path(keyed, params)
+
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(schedule, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+                    weight_decay=cfg.weight_decay, mask=decay_mask),
+    ), schedule
+
+
+def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                    optimizer: optax.GradientTransformation,
+                    forward_fn: Optional[Callable] = None):
+    """Jitted step over a [A, B, L] microbatch stack (A = grad_accum)."""
+    if forward_fn is None:
+        forward_fn = make_forward_fn(
+            model_cfg.replace(attn_impl="reference"), remat=train_cfg.remat)
+    mask_id = model_cfg.mask_token_id
+    if mask_id is None:
+        raise ValueError("model config needs mask_token_id for diffusion SFT")
+
+    def loss_fn(params, input_ids, prompt_lengths, key):
+        return diffusion_sft_loss(
+            lambda p, ids, m: forward_fn(p, ids, m),
+            params, input_ids, prompt_lengths, mask_id, key,
+            aux_coef=train_cfg.aux_loss_coef if model_cfg.is_moe else 0.0,
+        )
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def step(params, opt_state, input_ids, prompt_lengths, key):
+        a = input_ids.shape[0]
+        keys = jax.random.split(key, a)
+
+        def micro(carry, xs):
+            g_acc, l_acc, m_acc = carry
+            ids, plens, k = xs
+            (loss, metrics), grads = grad_fn(params, ids, plens, k)
+            g_acc = jax.tree.map(jnp.add, g_acc, grads)
+            m_acc = jax.tree.map(jnp.add, m_acc, metrics)
+            return (g_acc, l_acc + loss, m_acc), None
+
+        zeros_g = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        zeros_m = {"loss": 0.0, "aux_loss": 0.0, "masked_tokens": 0.0, "masked_ce": 0.0}
+        zeros_m = jax.tree.map(jnp.float32, zeros_m)
+        (grads, loss, metrics), _ = jax.lax.scan(
+            micro, (zeros_g, jnp.float32(0.0), zeros_m),
+            (input_ids, prompt_lengths, keys))
+
+        grads = jax.tree.map(lambda g: g / a, grads)
+        metrics = jax.tree.map(lambda v: v / a, metrics)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        grad_norm = optax.global_norm(grads)
+        metrics = dict(metrics, grad_norm=grad_norm)
+        return params, opt_state, metrics
+
+    @jax.jit
+    def eval_step(params, input_ids, prompt_lengths, key):
+        loss, metrics = loss_fn(params, input_ids, prompt_lengths, key)
+        return metrics
+
+    return step, eval_step
+
+
+class Trainer:
+    """End-to-end SFT driver over a tokenized dataset.
+
+    ``dataset`` rows: {"input_ids": list[int], "prompt_lengths": int} —
+    the output of the reference's tokenize_function (train.py:172-194).
+    """
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        params,
+        train_cfg: TrainConfig,
+        train_dataset: Sequence[Dict],
+        eval_dataset: Optional[Sequence[Dict]] = None,
+        pad_token_id: Optional[int] = None,
+        forward_fn: Optional[Callable] = None,
+        tokenizer=None,
+    ):
+        self.model_cfg = model_cfg
+        self.params = params
+        self.cfg = train_cfg
+        self.train_dataset = list(train_dataset)
+        self.eval_dataset = list(eval_dataset) if eval_dataset else None
+        self.tokenizer = tokenizer
+        self.collator = DiffusionCollator(
+            pad_token_id=pad_token_id if pad_token_id is not None
+            else model_cfg.pad_token_id,
+            eos_token_id=model_cfg.eos_token_id,
+            max_length=train_cfg.max_length,
+            variable_length=train_cfg.variable_length,
+            varlen_prob=train_cfg.varlen_prob,
+            varlen_min=train_cfg.varlen_min,
+            bucket=train_cfg.bucket,
+            seed=train_cfg.seed,
+        )
+
+        rows_per_step = train_cfg.batch_size * train_cfg.grad_accum
+        steps_per_epoch = len(self.train_dataset) // rows_per_step
+        self.total_steps = max(steps_per_epoch * train_cfg.num_epochs, 1)
+        self.optimizer, self.lr_schedule = make_optimizer(train_cfg, self.total_steps)
+        self.opt_state = self.optimizer.init(self.params)
+        self.train_step, self.eval_step = make_train_step(
+            model_cfg, train_cfg, self.optimizer, forward_fn)
+
+        self.global_step = 0
+        self.training_logs: List[Dict] = []
+        self.save_times: List[float] = []
+        self._rng = np.random.default_rng(train_cfg.seed)
+
+    # ------------------------------------------------------------------
+
+    def _batches(self, dataset, rows_per_step, shuffle):
+        idx = np.arange(len(dataset))
+        if shuffle:
+            self._rng.shuffle(idx)
+        end = len(idx) - (len(idx) % rows_per_step) if self.cfg.drop_last else len(idx)
+        for lo in range(0, end, rows_per_step):
+            yield [dataset[i] for i in idx[lo: lo + rows_per_step]]
+
+    def _stack_microbatches(self, rows, train=True):
+        a, b = self.cfg.grad_accum, self.cfg.batch_size
+        batch = self.collator(rows, train=train)
+        ids, plens = batch["input_ids"], batch["prompt_lengths"]
+        if not train:
+            return ids[None], plens[None]
+        return (ids.reshape(a, b, -1), plens.reshape(a, b))
+
+    def _log(self, entry: Dict):
+        entry = to_jsonable(entry)
+        self.training_logs.append(entry)
+        print(f"Step {entry.get('step')}: {entry}")
+        out_dir = Path(self.cfg.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        with open(out_dir / "training_logs.jsonl", "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    # ------------------------------------------------------------------
+
+    def evaluate(self) -> Optional[float]:
+        if not self.eval_dataset:
+            return None
+        losses = []
+        key = jax.random.key(self.cfg.seed + 10_000)
+        rows_per = self.cfg.batch_size
+        for rows in self._batches(self.eval_dataset, rows_per, shuffle=False):
+            batch = self.collator(rows, train=False)
+            key, sub = jax.random.split(key)
+            m = self.eval_step(self.params,
+                               jnp.asarray(batch["input_ids"]),
+                               jnp.asarray(batch["prompt_lengths"]), sub)
+            losses.append(float(m["loss"]))
+        eval_loss = float(np.mean(losses)) if losses else float("inf")
+        self._log({"step": self.global_step, "eval_loss": eval_loss})
+        return eval_loss
+
+    def train(self):
+        cfg = self.cfg
+        rows_per_step = cfg.batch_size * cfg.grad_accum
+        key = jax.random.key(cfg.seed)
+        t_start = time.time()
+        samples_seen = 0
+        log_timing(
+            f"Starting training: {self.total_steps} steps "
+            f"({len(self.train_dataset)} samples, eff. batch {rows_per_step})")
+
+        try:
+            for epoch in range(cfg.num_epochs):
+                for rows in self._batches(self.train_dataset, rows_per_step, shuffle=True):
+                    ids, plens = self._stack_microbatches(rows, train=True)
+                    key, sub = jax.random.split(key)
+                    self.params, self.opt_state, metrics = self.train_step(
+                        self.params, self.opt_state,
+                        jnp.asarray(ids), jnp.asarray(plens), sub)
+                    self.global_step += 1
+                    samples_seen += rows_per_step
+
+                    if self.global_step % cfg.logging_steps == 0:
+                        lr = float(self.lr_schedule(self.global_step))
+                        self._log({
+                            "step": self.global_step,
+                            "epoch": epoch + 1,
+                            "loss": float(metrics["loss"]),
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "learning_rate": lr,
+                        })
+                    if cfg.eval_steps and self.global_step % cfg.eval_steps == 0:
+                        self.evaluate()
+                    if cfg.save_steps and self.global_step % cfg.save_steps == 0:
+                        self.save(cfg.output_dir)
+        except KeyboardInterrupt:
+            print("\nTraining interrupted by user")
+            self.save(cfg.output_dir + "_interrupted")
+            return self._finalize(t_start, samples_seen, status="interrupted")
+        except Exception:
+            try:
+                self.save(cfg.output_dir + "_error")
+            except Exception:
+                pass
+            raise
+
+        self.save(cfg.output_dir)
+        return self._finalize(t_start, samples_seen, status="completed")
+
+    def _finalize(self, t_start, samples_seen, status):
+        elapsed = time.time() - t_start
+        final = {
+            "step": self.global_step,
+            "train_runtime": round(elapsed, 2),
+            "train_samples_per_second": round(samples_seen / max(elapsed, 1e-9), 3),
+            "train_steps_per_second": round(self.global_step / max(elapsed, 1e-9), 3),
+            "train_loss": (self.training_logs[-1].get("loss")
+                           if self.training_logs else None),
+            "status": status,
+        }
+        self._log(final)
+
+        out_dir = Path(self.cfg.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        with open(out_dir / "training_metrics.json", "w") as f:
+            json.dump(self.training_logs, f, indent=2)
+        try:
+            from ct_diffusionmodelbench_tpu.train.plotting import plot_training_metrics
+            plot_training_metrics(self.training_logs, out_dir)
+        except Exception as e:  # plotting must never kill a run
+            print(f"Plotting skipped: {e}")
+
+        with open(out_dir / "training_config.json", "w") as f:
+            json.dump(to_jsonable({
+                "model_name": self.model_cfg.name,
+                "max_length": self.cfg.max_length,
+                "training_type": "masked_diffusion_sft_tpu",
+                "total_parameters": f"{self.model_cfg.param_count() / 1e9:.2f}B",
+                "train_config": asdict(self.cfg),
+                "average_save_time": (sum(self.save_times) / len(self.save_times)
+                                      if self.save_times else "N/A"),
+                **final,
+            }), f, indent=2)
+        return final
+
+    def save(self, output_dir: Optional[str] = None):
+        output_dir = output_dir or self.cfg.output_dir
+        if jax.process_index() != 0:  # main-process-only save (train.py:343)
+            return
+        t0 = time.time()
+        log_timing(f"Starting optimized save to {output_dir}")
+        save_checkpoint(output_dir, self.model_cfg, self.params)
+        if self.tokenizer is not None:
+            self.tokenizer.save_pretrained(output_dir)
+        dt = time.time() - t0
+        self.save_times.append(dt)
+        log_timing(f"Save completed in {dt:.2f} seconds")

@@ -1,0 +1,170 @@
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ct_diffusionmodelbench_tpu.models import get_config, init_params, make_forward_fn
+from ct_diffusionmodelbench_tpu.train import (
+    DiffusionCollator,
+    TrainConfig,
+    Trainer,
+    diffusion_sft_loss,
+    forward_process,
+)
+
+MASK = 500
+
+
+def test_forward_process_masks_at_rate():
+    ids = jnp.ones((512, 64), jnp.int32)
+    noisy, masked, p_mask = forward_process(ids, MASK, jax.random.key(0))
+    m = np.asarray(masked)
+    p = np.asarray(p_mask)
+    # per-row mask rate tracks that row's p_mask
+    rates = m.mean(axis=1)
+    np.testing.assert_allclose(rates.mean(), p[:, 0].mean(), atol=0.02)
+    # masked positions hold mask_id, others original
+    n = np.asarray(noisy)
+    assert (n[m] == MASK).all()
+    assert (n[~m] == 1).all()
+
+
+def test_loss_prompt_region_excluded(tiny_dense):
+    """Prompt positions are never noised, so a batch whose rows are all
+    prompt contributes ~zero loss."""
+    cfg, params, fwd = tiny_dense
+    ids = jax.random.randint(jax.random.key(1), (2, 16), 3, cfg.vocab_size - 2)
+    plens = jnp.array([16, 16])  # everything is prompt
+    loss, metrics = diffusion_sft_loss(
+        lambda p, i, m: fwd(p, i, m), params, ids, plens, MASK, jax.random.key(2))
+    assert float(metrics["masked_tokens"]) == 0
+    assert float(loss) == 0.0
+
+
+def test_loss_is_finite_and_positive(tiny_dense):
+    cfg, params, fwd = tiny_dense
+    ids = jax.random.randint(jax.random.key(3), (4, 24), 3, cfg.vocab_size - 2)
+    plens = jnp.array([4, 6, 2, 8])
+    loss, metrics = diffusion_sft_loss(
+        lambda p, i, m: fwd(p, i, m), params, ids, plens, MASK, jax.random.key(4))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert float(metrics["masked_ce"]) > 0
+
+
+def test_loss_gradients_flow(tiny_dense):
+    cfg, params, fwd = tiny_dense
+    ids = jax.random.randint(jax.random.key(5), (2, 16), 3, cfg.vocab_size - 2)
+    plens = jnp.array([4, 4])
+
+    def f(p):
+        loss, _ = diffusion_sft_loss(
+            lambda pp, i, m: fwd(pp, i, m), p, ids, plens, MASK, jax.random.key(6))
+        return loss
+
+    grads = jax.grad(f)(params)
+    gn = float(jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                            for g in jax.tree.leaves(grads))))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_collator_pads_to_longest_and_caps():
+    c = DiffusionCollator(pad_token_id=0, eos_token_id=2, max_length=16,
+                          variable_length=False, bucket=1)
+    feats = [
+        {"input_ids": list(range(1, 6)), "prompt_lengths": 2},
+        {"input_ids": list(range(1, 30)), "prompt_lengths": 3},
+    ]
+    b = c(feats)
+    assert b["input_ids"].shape == (2, 16)  # capped at max_length
+    assert (b["input_ids"][0, 5:] == 0).all()
+    assert list(b["prompt_lengths"]) == [2, 3]
+
+
+def test_collator_varlen_never_cuts_prompt():
+    c = DiffusionCollator(pad_token_id=0, eos_token_id=2, max_length=64,
+                          variable_length=True, varlen_prob=1.0, varlen_min=1,
+                          bucket=1, seed=0)
+    feats = [{"input_ids": list(range(1, 41)), "prompt_lengths": 20}]
+    for _ in range(20):
+        b = c(feats, train=True)
+        assert b["input_ids"].shape[1] >= 20
+    # eval disables the trick (VariableLengthToggleCallback semantics)
+    b = c(feats, train=False)
+    assert b["input_ids"].shape[1] == 40
+
+
+def test_collator_bucket_rounds_up():
+    c = DiffusionCollator(pad_token_id=0, eos_token_id=2, max_length=256,
+                          variable_length=False, bucket=64)
+    b = c([{"input_ids": list(range(70)), "prompt_lengths": 3}])
+    assert b["input_ids"].shape[1] == 128
+
+
+def _tiny_dataset(cfg, n, rng):
+    rows = []
+    for _ in range(n):
+        plen = int(rng.integers(2, 6))
+        total = plen + int(rng.integers(4, 12))
+        rows.append({
+            "input_ids": rng.integers(3, cfg.vocab_size - 2, size=total).tolist(),
+            "prompt_lengths": plen,
+        })
+    return rows
+
+
+def test_trainer_end_to_end_loss_decreases(tmp_path):
+    """2-layer tiny model overfits 16 repeated samples: loss must drop and
+    every artifact of the reference's output contract must exist."""
+    cfg = get_config("llada-tiny", dtype="float32").replace(pad_token_id=0)
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    ds = _tiny_dataset(cfg, 16, rng)
+
+    tc = TrainConfig(
+        output_dir=str(tmp_path / "run"), num_epochs=8, batch_size=2,
+        grad_accum=2, learning_rate=3e-3, warmup_steps=2, logging_steps=1,
+        eval_steps=8, max_length=32, bucket=32, seed=0,
+    )
+    trainer = Trainer(cfg, params, tc, ds, eval_dataset=ds[:4])
+    final = trainer.train()
+
+    losses = [l["loss"] for l in trainer.training_logs if "loss" in l]
+    assert len(losses) >= 10
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]) * 0.8, losses
+
+    out = tmp_path / "run"
+    assert (out / "model.safetensors").exists() or \
+           (out / "model.safetensors.index.json").exists()
+    assert (out / "config.json").exists()
+    assert (out / "training_metrics.json").exists()
+    assert (out / "training_config.json").exists()
+    assert (out / "training_logs.jsonl").exists()
+    assert (out / "training_plots.png").exists()
+    assert final["status"] == "completed"
+    assert final["train_samples_per_second"] > 0
+
+    metrics = json.loads((out / "training_metrics.json").read_text())
+    assert any("eval_loss" in m for m in metrics)
+
+    # reload the checkpoint and keep training state coherent
+    from ct_diffusionmodelbench_tpu.io.checkpoint import load_checkpoint
+    cfg2, params2 = load_checkpoint(out, dtype="float32")
+    ids = jax.random.randint(jax.random.key(9), (1, 8), 3, cfg.vocab_size - 2)
+    l1, _ = make_forward_fn(cfg.replace(attn_impl="reference"))(trainer.params, ids)
+    l2, _ = make_forward_fn(cfg2.replace(dtype="float32"))(params2, ids)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-5, atol=2e-5)
+
+
+def test_trainer_moe_aux_loss_in_training(tmp_path):
+    cfg = get_config("llada-moe-tiny", dtype="float32").replace(pad_token_id=0)
+    params = init_params(cfg, jax.random.key(1))
+    ds = _tiny_dataset(cfg, 8, np.random.default_rng(1))
+    tc = TrainConfig(output_dir=str(tmp_path / "moe"), num_epochs=1,
+                     batch_size=2, grad_accum=2, logging_steps=1,
+                     eval_steps=0, max_length=32, bucket=32)
+    trainer = Trainer(cfg, params, tc, ds)
+    final = trainer.train()
+    assert final["status"] == "completed"
+    assert all(np.isfinite(l["loss"]) for l in trainer.training_logs if "loss" in l)
