@@ -1,0 +1,150 @@
+"""ModelRunner: checkpoint + tokenizer + sampler behind one generate() call.
+
+The uniform handle the eval/CLI layers drive.  Loads HF-layout checkpoint
+dirs (io/checkpoint.py) or wraps an in-memory (cfg, params, tokenizer) —
+the latter is how tests and random-weight benchmarks run offline.
+
+Family dispatch:
+- ``llada`` / ``llada-moe``: chat-template prompt + the block-diffusion
+  sampler (C1),
+- ``dream`` / ``diffucoder``: raw ``<|im_start|>`` prompt + the
+  entropy-ordered ``diffusion_generate`` equivalent (C7), decode split at
+  ``eos_token`` (dream.py:99) or ``<|dlm_pad|>`` (diffucoder.py:96).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ct_diffusionmodelbench_tpu.io.checkpoint import load_checkpoint
+from ct_diffusionmodelbench_tpu.io.tokenizer import Tokenizer, resolve_mask_id
+from ct_diffusionmodelbench_tpu.models.config import ModelConfig, get_config
+from ct_diffusionmodelbench_tpu.models.transformer import make_forward_fn
+from ct_diffusionmodelbench_tpu.sampling import dream_generate, llada_generate
+
+
+def infer_family(cfg: ModelConfig) -> str:
+    if cfg.logit_shift:
+        return "dream" if "dream" in cfg.name else "diffucoder"
+    return "llada-moe" if cfg.is_moe else "llada"
+
+
+@dataclass
+class GenResult:
+    token_ids: np.ndarray       # [P+G] full sequence
+    continuation_ids: np.ndarray
+    text: str                   # decoded continuation (family-specific split)
+    latency_sec: float
+
+
+class ModelRunner:
+    def __init__(self, cfg: ModelConfig, params, tokenizer: Tokenizer,
+                 family: Optional[str] = None,
+                 mask_id_override: Optional[int] = None):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.family = family or infer_family(cfg)
+        self.forward_fn = make_forward_fn(cfg)
+        self.mask_id = resolve_mask_id(
+            config_mask_id=cfg.mask_token_id,
+            tokenizer=tokenizer,
+            vocab_size=cfg.vocab_size,
+            override=mask_id_override,
+        )
+        self.eos_token_id = (tokenizer.eos_token_id
+                             if tokenizer.eos_token_id is not None
+                             else cfg.eos_token_id)
+
+    # -- constructors --------------------------------------------------
+
+    @classmethod
+    def from_dir(cls, model_dir: str | Path, family: Optional[str] = None,
+                 mask_id_override: Optional[int] = None,
+                 dtype: Optional[str] = None) -> "ModelRunner":
+        cfg, params = load_checkpoint(model_dir, dtype=dtype)
+        try:
+            tokenizer = Tokenizer.from_pretrained(model_dir)
+        except Exception:
+            tokenizer = Tokenizer.byte_fallback(
+                vocab_size=cfg.vocab_size,
+                eos_token_id=cfg.eos_token_id or 2)
+        return cls(cfg, params, tokenizer, family=family,
+                   mask_id_override=mask_id_override)
+
+    @classmethod
+    def random_init(cls, preset: str, seed: int = 0,
+                    family: Optional[str] = None) -> "ModelRunner":
+        from ct_diffusionmodelbench_tpu.models.transformer import init_params
+
+        cfg = get_config(preset)
+        params = init_params(cfg, jax.random.key(seed))
+        tokenizer = Tokenizer.byte_fallback(vocab_size=cfg.vocab_size,
+                                            eos_token_id=cfg.eos_token_id or 2)
+        return cls(cfg, params, tokenizer, family=family)
+
+    # -- generation ----------------------------------------------------
+
+    def generate_ids(
+        self,
+        prompt_ids: np.ndarray,
+        *,
+        gen_length: int = 128,
+        steps: int = 128,
+        block_length: int = 32,
+        temperature: float = 0.0,
+        cfg_scale: float = 0.0,
+        remasking: str = "low_confidence",
+        avoid_eos: bool = False,
+        top_p: Optional[float] = 0.95,
+        alg: str = "entropy",
+        alg_temp: float = 0.0,
+        seed: int = 0,
+    ) -> np.ndarray:
+        prompt = jnp.asarray(prompt_ids)[None] if np.ndim(prompt_ids) == 1 \
+            else jnp.asarray(prompt_ids)
+        key = jax.random.key(seed)
+        if self.family in ("llada", "llada-moe"):
+            out = llada_generate(
+                self.forward_fn, self.params, prompt,
+                steps=steps, gen_length=gen_length, block_length=block_length,
+                temperature=temperature, cfg_scale=cfg_scale,
+                remasking=remasking, mask_id=self.mask_id,
+                avoid_eos=avoid_eos, eos_token_id=self.eos_token_id, key=key)
+        else:
+            out, _ = dream_generate(
+                self.forward_fn, self.params, prompt,
+                steps=steps, max_new_tokens=gen_length,
+                temperature=temperature, top_p=top_p, alg=alg,
+                alg_temp=alg_temp, mask_id=self.mask_id, key=key)
+        return np.asarray(out)
+
+    def generate(self, prompt_text: str, *, max_length: int = 2048,
+                 truncate_at_eos: bool = False, skip_special_tokens: bool = True,
+                 **kw) -> GenResult:
+        ids = np.asarray(self.tokenizer.encode(prompt_text, max_length=max_length),
+                         np.int32)
+        t0 = time.time()
+        out = self.generate_ids(ids, **kw)[0]
+        latency = time.time() - t0
+
+        cont = out[len(ids):]
+        if truncate_at_eos and self.eos_token_id is not None:
+            # Post-hoc EOS truncation (chat_finetuned.py:176-182).
+            hits = np.nonzero(cont == self.eos_token_id)[0]
+            if hits.size:
+                cont = cont[: int(hits[0])]
+
+        text = self.tokenizer.decode(cont, skip_special_tokens=skip_special_tokens)
+        if self.family == "dream" and self.tokenizer.eos_token:
+            text = text.split(self.tokenizer.eos_token)[0]
+        elif self.family == "diffucoder":
+            text = text.split("<|dlm_pad|>")[0]
+        return GenResult(out, cont, text, round(latency, 4))
