@@ -147,12 +147,20 @@ def forward(
     input_ids: jnp.ndarray,
     attn_mask: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    logit_start: Optional[jnp.ndarray] = None,
+    logit_length: Optional[int] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full forward: input_ids [B, S] → (logits [B, S, V] f32, aux_loss scalar).
 
     ``attn_mask`` ([B, S], 1 = real) enables batched eval with left-padded
     prompts; position ids restart at the first real token so RoPE matches the
     unpadded single-prompt run.
+
+    ``logit_start``/``logit_length`` (traced scalar / static int): compute the
+    LM head only for positions [start, start+length).  The block sampler uses
+    this — only the active block's logits are ever consumed per denoise step,
+    and the [S, D] @ [D, V] head matmul plus the downstream [S, V] softmax /
+    argmax are the largest non-attention costs at V≈126k.
     """
     B, S = input_ids.shape
     x = jnp.take(params["embed"], input_ids, axis=0)
@@ -176,12 +184,22 @@ def forward(
     (x, aux), _ = jax.lax.scan(scan_body, (x, jnp.zeros((), jnp.float32)), params["blocks"])
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+
+    if logit_start is not None:
+        if cfg.logit_shift:
+            # Shifted-logit families read position i's prediction from hidden
+            # state i-1: slice one position earlier (block starts are always
+            # > 0 — they sit after the prompt).
+            x = jax.lax.dynamic_slice_in_dim(x, logit_start - 1, logit_length, axis=1)
+        else:
+            x = jax.lax.dynamic_slice_in_dim(x, logit_start, logit_length, axis=1)
+
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
     logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
 
-    if cfg.logit_shift:
+    if cfg.logit_shift and logit_start is None:
         # Dream/DiffuCoder convention: position i-1 predicts token i
         # (AR-initialized diffusion; the HF remote code shifts logits right by
         # one before sampling).  Position 0 keeps its own logits.
@@ -193,9 +211,11 @@ def forward(
 
 
 def make_forward_fn(cfg: ModelConfig, remat: bool = False):
-    """Return ``f(params, input_ids, attn_mask=None) -> (logits, aux)``."""
+    """Return ``f(params, input_ids, attn_mask=None, logit_start=None,
+    logit_length=None) -> (logits, aux)``."""
 
-    def fn(params, input_ids, attn_mask=None):
-        return forward(cfg, params, input_ids, attn_mask=attn_mask, remat=remat)
+    def fn(params, input_ids, attn_mask=None, logit_start=None, logit_length=None):
+        return forward(cfg, params, input_ids, attn_mask=attn_mask, remat=remat,
+                       logit_start=logit_start, logit_length=logit_length)
 
     return fn

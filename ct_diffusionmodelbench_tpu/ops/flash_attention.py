@@ -101,8 +101,18 @@ def _flash_forward(q, k, v, mask, tile_q, tile_k):
     rep = h // kv
     scale = dh ** -0.5
 
-    tq = min(tile_q, _round_up(s, 128))
-    tk = min(tile_k, _round_up(s, 128))
+    # Adaptive tiling: short sequences (the 300-2500 token regime every
+    # denoise step runs at) use a single query tile of exactly round_up(s, 8)
+    # rows and a single kv tile of round_up(s, 128) — zero padding waste,
+    # one-shot online softmax.  Long sequences fall back to fixed tiles.
+    if s <= 2 * tile_q:
+        tq = _round_up(s, 8)
+    else:
+        tq = tile_q
+    if s <= 2 * tile_k:
+        tk = _round_up(s, 128)
+    else:
+        tk = tile_k
     sq_pad = _round_up(s, tq)
     sk_pad = _round_up(s, tk)
 

@@ -104,21 +104,31 @@ def make_sharded_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
                           is_leaf=lambda x: isinstance(x, P))
     dshard = NamedSharding(mesh, P(DATA_AXIS, None))
 
-    @partial(
-        jax.jit,
-        in_shardings=(pshard, dshard, None),
-        out_shardings=(NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS)),
-                       NamedSharding(mesh, P())),
-    )
-    def fn(params, input_ids, attn_mask):
-        with use_mesh(mesh):
-            logits, aux = forward(cfg, params, input_ids,
-                                  attn_mask=attn_mask, remat=remat)
-        logits = jax.lax.with_sharding_constraint(
-            logits, NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS)))
-        return logits, aux
+    logits_shard = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
+    jitted = {}  # keyed by logit_length (None = full width)
 
-    def wrapper(params, input_ids, attn_mask=None):
-        return fn(params, input_ids, attn_mask)
+    def _build(logit_length):
+        @partial(
+            jax.jit,
+            in_shardings=(pshard, dshard, None, None),
+            out_shardings=(logits_shard, NamedSharding(mesh, P())),
+        )
+        def fn(params, input_ids, attn_mask, logit_start):
+            with use_mesh(mesh):
+                logits, aux = forward(cfg, params, input_ids,
+                                      attn_mask=attn_mask, remat=remat,
+                                      logit_start=logit_start,
+                                      logit_length=logit_length)
+            logits = jax.lax.with_sharding_constraint(logits, logits_shard)
+            return logits, aux
+        return fn
+
+    def wrapper(params, input_ids, attn_mask=None, logit_start=None,
+                logit_length=None):
+        key = logit_length if logit_start is not None else None
+        if key not in jitted:
+            jitted[key] = _build(key)
+        return jitted[key](params, input_ids, attn_mask,
+                           logit_start if key is not None else None)
 
     return wrapper

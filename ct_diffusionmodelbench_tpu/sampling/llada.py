@@ -82,47 +82,71 @@ class LLaDASamplerConfig:
         return self.steps // self.num_blocks
 
 
+def _supports_logit_slice(forward_fn) -> bool:
+    import inspect
+
+    try:
+        return "logit_start" in inspect.signature(forward_fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask, key):
-    """The fused loop body. x: [B, P+G] int32; prompt_len: static int."""
+    """The fused loop body. x: [B, P+G] int32; prompt_len: static int.
+
+    Works block-sliced when the model forward supports ``logit_start``: only
+    the active block's [B, block_length, V] logits are computed and scored
+    each step.  Equivalent to the reference's full-width math — positions
+    outside the block all carry -inf confidence there
+    (chat_finetuned.py:95-98), so they can never be selected — while skipping
+    ~(S/block_length)x of the LM-head matmul and the entire full-width
+    softmax/argmax.
+    """
     B, S = x.shape
+    bl = sc.block_length
     spb = sc.steps_per_block
     prompt_index = x != sc.mask_id
-    positions = jnp.arange(S, dtype=jnp.int32)[None, :]
+    sliced = _supports_logit_slice(forward_fn)
 
-    def logits_fn(x, key):
+    def block_logits(x, block_start):
+        """[B, bl, V] logits for the active block (CFG + avoid-EOS applied)."""
+        kw = dict(logit_start=block_start, logit_length=bl) if sliced else {}
         if sc.cfg_scale > 0.0:
             # CFG: second half of the doubled batch sees the prompt re-masked
             # (chat_finetuned.py:69-75).
             un_x = jnp.where(prompt_index, sc.mask_id, x)
             both = jnp.concatenate([x, un_x], axis=0)
             m = None if attn_mask is None else jnp.concatenate([attn_mask, attn_mask], axis=0)
-            logits, _ = forward_fn(both, m)
+            logits, _ = forward_fn(both, m, **kw)
             cond, uncond = jnp.split(logits, 2, axis=0)
             logits = uncond + (sc.cfg_scale + 1.0) * (cond - uncond)
         else:
-            logits, _ = forward_fn(x, attn_mask)
+            logits, _ = forward_fn(x, attn_mask, **kw)
+        if not sliced:
+            logits = jax.lax.dynamic_slice_in_dim(logits, block_start, bl, axis=1)
         if sc.avoid_eos and sc.eos_token_id is not None:
             logits = logits.at[..., sc.eos_token_id].set(NEG_INF)
         return logits
 
-    def compute_counts(x, block):
-        start = prompt_len + block * sc.block_length
-        block_ids = jax.lax.dynamic_slice_in_dim(x, start, sc.block_length, axis=1)
+    def compute_counts(x, block_start):
+        block_ids = jax.lax.dynamic_slice_in_dim(x, block_start, bl, axis=1)
         return get_num_transfer_tokens(block_ids == sc.mask_id, spb)
 
     def step(s, carry):
         x, counts, key = carry
         block = s // spb
         i = s % spb
+        block_start = prompt_len + block * bl
 
         counts = jax.lax.cond(
-            i == 0, lambda: compute_counts(x, block), lambda: counts
+            i == 0, lambda: compute_counts(x, block_start), lambda: counts
         )
         k = jnp.take(counts, i, axis=1)  # [B]
 
         key, k_gumbel, k_rand = jax.random.split(key, 3)
-        mask_index = x == sc.mask_id
-        logits = logits_fn(x, k_gumbel)
+        x_blk = jax.lax.dynamic_slice_in_dim(x, block_start, bl, axis=1)
+        mask_blk = x_blk == sc.mask_id
+        logits = block_logits(x, block_start)
 
         scores = gumbel_rescore(logits, sc.temperature, k_gumbel)
         x0 = jnp.argmax(scores, axis=-1).astype(x.dtype)
@@ -130,17 +154,14 @@ def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask, 
         if sc.remasking == "low_confidence":
             x0_p = token_confidence(logits, x0)
         else:  # random
-            x0_p = jax.random.uniform(k_rand, x.shape, jnp.float32)
+            x0_p = jax.random.uniform(k_rand, x_blk.shape, jnp.float32)
 
-        # Never advance beyond the current block (chat_finetuned.py:95).
-        block_end = prompt_len + (block + 1) * sc.block_length
-        x0_p = jnp.where(positions >= block_end, NEG_INF, x0_p)
-
-        x0 = jnp.where(mask_index, x0, x)
-        confidence = jnp.where(mask_index, x0_p, NEG_INF)
+        x0 = jnp.where(mask_blk, x0, x_blk)
+        confidence = jnp.where(mask_blk, x0_p, NEG_INF)
 
         transfer = rank_topk_mask(confidence, k)
-        x = jnp.where(transfer, x0, x)
+        new_blk = jnp.where(transfer, x0, x_blk)
+        x = jax.lax.dynamic_update_slice_in_dim(x, new_blk, block_start, axis=1)
         return (x, counts, key)
 
     counts0 = jnp.zeros((B, spb), jnp.int32)
