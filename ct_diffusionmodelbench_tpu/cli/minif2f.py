@@ -35,6 +35,9 @@ def build_parser():
                    help="Reuse Lean workspace (faster)")
     p.add_argument("--no-pipeline", action="store_true",
                    help="Disable generation/verification overlap")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="Data-parallel prompt batch (left-padded; shards over "
+                        "the mesh data axis when one is active)")
     return p
 
 
@@ -65,6 +68,7 @@ def main(argv=None):
         reuse_work_dir=args.reuse_work_dir,
         verifier=FakeLeanVerifier() if args.fake_lean else None,
         pipeline_verification=not args.no_pipeline,
+        batch_size=args.batch_size,
     )
 
 

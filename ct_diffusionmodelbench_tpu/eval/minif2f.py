@@ -60,10 +60,9 @@ def strip_proof_prefix(proof: str) -> str:
     return proof
 
 
-def generate_proof(runner: ModelRunner, problem: Dict, *, gen_length: int,
-                   steps: int, block_length: int, temperature: float,
-                   cfg_scale: float, max_length: int = 2048,
-                   seed: int = 0) -> str:
+def build_minif2f_prompt(runner: ModelRunner, problem: Dict) -> str:
+    """Training-matched prompt: Lean source (header + statement) as the user
+    message under the Lean-only system prompt (benchmark_finetuned.py:253-265)."""
     header = problem["header"].strip()
     formal_stmt = problem["formal_statement"].strip()
     lean_source = f"{header}\n{formal_stmt}"
@@ -71,7 +70,14 @@ def generate_proof(runner: ModelRunner, problem: Dict, *, gen_length: int,
         {"role": "system", "content": MINIF2F_SYSTEM_PROMPT},
         {"role": "user", "content": lean_source},
     ]
-    prompt = runner.tokenizer.apply_chat_template(messages, add_generation_prompt=True)
+    return runner.tokenizer.apply_chat_template(messages, add_generation_prompt=True)
+
+
+def generate_proof(runner: ModelRunner, problem: Dict, *, gen_length: int,
+                   steps: int, block_length: int, temperature: float,
+                   cfg_scale: float, max_length: int = 2048,
+                   seed: int = 0) -> str:
+    prompt = build_minif2f_prompt(runner, problem)
     res = runner.generate(
         prompt, max_length=max_length,
         gen_length=gen_length, steps=steps, block_length=block_length,
@@ -96,6 +102,7 @@ def run_minif2f_evaluation(
     reuse_work_dir: bool = False,
     verifier=None,
     pipeline_verification: bool = True,
+    batch_size: int = 1,
 ) -> Dict:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -123,12 +130,48 @@ def run_minif2f_evaluation(
         else:
             log(f"✗ {result['name']} - FAIL: {result['generated_proof'][:100]}...")
 
-    for problem in problems:
+    def generated_stream():
+        """Yield (problem, proof | exception, gen_time).  batch_size > 1 runs
+        the data-parallel left-padded path (BASELINE config 5); each row's
+        positions/attention match its single-prompt run.  Per-problem errors
+        are yielded, not raised, so one bad problem never kills the sweep
+        (benchmark_finetuned.py:426-435)."""
+        if batch_size <= 1:
+            for problem in problems:
+                try:
+                    proof, gen_time = generate_proof(
+                        runner, problem, gen_length=gen_length, steps=steps,
+                        block_length=block_length, temperature=temperature,
+                        cfg_scale=cfg_scale)
+                    yield problem, proof, gen_time
+                except Exception as e:
+                    yield problem, e, 0.0
+            return
+        for lo in range(0, len(problems), batch_size):
+            chunk = problems[lo: lo + batch_size]
+            try:
+                prompts = [build_minif2f_prompt(runner, p) for p in chunk]
+                rs = runner.generate_batch(
+                    prompts, gen_length=gen_length, steps=steps,
+                    block_length=block_length, temperature=temperature,
+                    cfg_scale=cfg_scale, avoid_eos=True, truncate_at_eos=True)
+                for problem, res in zip(chunk, rs):
+                    yield (problem,
+                           strip_proof_prefix(extract_lean_code(res.text)),
+                           res.latency_sec)
+            except Exception as e:
+                for problem in chunk:
+                    yield problem, e, 0.0
+
+    for problem, proof, gen_time in generated_stream():
+        if isinstance(proof, Exception):
+            log(f"Error on problem {problem['name']}: {proof}")
+            results.append({"name": problem["name"], "error": str(proof),
+                            "verified": False, "split": split})
+            stats["total"] += 1
+            stats["errors"] += 1
+            continue
         try:
-            proof, gen_time = generate_proof(
-                runner, problem, gen_length=gen_length, steps=steps,
-                block_length=block_length, temperature=temperature,
-                cfg_scale=cfg_scale)
             result = {
                 "name": problem["name"],
                 "formal_statement": problem["formal_statement"],

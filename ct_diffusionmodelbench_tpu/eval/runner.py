@@ -148,3 +148,70 @@ class ModelRunner:
         elif self.family == "diffucoder":
             text = text.split("<|dlm_pad|>")[0]
         return GenResult(out, cont, text, round(latency, 4))
+
+    def generate_batch(self, prompt_texts: list[str], *, max_length: int = 2048,
+                       truncate_at_eos: bool = False,
+                       skip_special_tokens: bool = True, **kw) -> list[GenResult]:
+        """Data-parallel multi-prompt generation (BASELINE config 5).
+
+        Prompts are left-padded to the batch max so every generated region
+        is contiguous and the fused loop stays one static shape; the
+        attention mask excludes pads and RoPE positions restart at the first
+        real token (so each row decodes exactly as its unpadded single run).
+        Under an active mesh the batch shards over the ``data`` axis.
+        """
+        import numpy as np
+
+        encoded = [self.tokenizer.encode(t, max_length=max_length)
+                   for t in prompt_texts]
+        b = len(encoded)
+        p = max(len(e) for e in encoded)
+        pad = self.tokenizer.pad_token_id or 0
+        ids = np.full((b, p), pad, np.int32)
+        mask = np.zeros((b, p), np.int32)
+        for r, e in enumerate(encoded):
+            ids[r, p - len(e):] = e
+            mask[r, p - len(e):] = 1
+
+        t0 = time.time()
+        prompt = jnp.asarray(ids)
+        key = jax.random.key(kw.pop("seed", 0))
+        gen_length = kw.pop("gen_length", 128)
+        if self.family in ("llada", "llada-moe"):
+            out = llada_generate(
+                self.forward_fn, self.params, prompt,
+                steps=kw.pop("steps", 128), gen_length=gen_length,
+                block_length=kw.pop("block_length", 32),
+                temperature=kw.pop("temperature", 0.0),
+                cfg_scale=kw.pop("cfg_scale", 0.0),
+                remasking=kw.pop("remasking", "low_confidence"),
+                mask_id=self.mask_id,
+                avoid_eos=kw.pop("avoid_eos", False),
+                eos_token_id=self.eos_token_id,
+                attn_mask=jnp.asarray(mask), key=key)
+        else:
+            out, _ = dream_generate(
+                self.forward_fn, self.params, prompt,
+                steps=kw.pop("steps", 128), max_new_tokens=gen_length,
+                temperature=kw.pop("temperature", 0.0),
+                top_p=kw.pop("top_p", 0.95), alg=kw.pop("alg", "entropy"),
+                alg_temp=kw.pop("alg_temp", 0.0), mask_id=self.mask_id,
+                attn_mask=jnp.asarray(mask), key=key)
+        out = np.asarray(out)
+        latency = round((time.time() - t0) / b, 4)  # amortized per sample
+
+        results = []
+        for r in range(b):
+            cont = out[r, p:]
+            if truncate_at_eos and self.eos_token_id is not None:
+                hits = np.nonzero(cont == self.eos_token_id)[0]
+                if hits.size:
+                    cont = cont[: int(hits[0])]
+            text = self.tokenizer.decode(cont,
+                                         skip_special_tokens=skip_special_tokens)
+            if self.family == "dream" and self.tokenizer.eos_token:
+                text = text.split(self.tokenizer.eos_token)[0]
+            elif self.family == "diffucoder":
+                text = text.split("<|dlm_pad|>")[0]
+            results.append(GenResult(out[r], cont, text, latency))
+        return results

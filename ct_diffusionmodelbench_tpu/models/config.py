@@ -45,6 +45,10 @@ class ModelConfig:
     logit_shift: bool = False         # Dream/DiffuCoder: logits shifted right by
                                       # one (AR-initialized diffusion models
                                       # predict token i from position i-1)
+    causal: bool = False              # autoregressive baseline models (the
+                                      # reference's LLaDOU / chat_base_model
+                                      # path uses plain HF generate; diffusion
+                                      # models are always bidirectional)
     # MoE (0 experts = dense FFN)
     num_experts: int = 0
     num_experts_per_tok: int = 0

@@ -120,7 +120,7 @@ def _block_forward(cfg: ModelConfig, x, lp, cos, sin, mask):
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    attn_out = attention(q, k, v, mask=mask, impl=cfg.attn_impl)
+    attn_out = attention(q, k, v, mask=mask, impl=cfg.attn_impl, causal=cfg.causal)
     attn_out = attn_out.reshape(B, S, H * Dh)
     x = x + jnp.dot(attn_out, lp["wo"], preferred_element_type=jnp.float32).astype(x.dtype)
 

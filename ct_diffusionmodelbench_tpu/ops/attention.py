@@ -43,6 +43,7 @@ def attention_reference(
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """jnp reference attention (softmax in f32, output in q.dtype)."""
     n_rep = q.shape[2] // k.shape[2]
@@ -54,6 +55,10 @@ def attention_reference(
     if mask is not None:
         bias = jnp.where(mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
         logits = logits + bias
+    if causal:
+        s = q.shape[1]
+        tri = jnp.tril(jnp.ones((s, s), bool))
+        logits = jnp.where(tri[None, None], logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
@@ -74,14 +79,22 @@ def attention(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
+    causal: bool = False,
 ) -> jnp.ndarray:
-    """Dispatch to the Pallas flash kernel on TPU, jnp reference elsewhere."""
+    """Dispatch to the Pallas flash kernel on TPU, jnp reference elsewhere.
+
+    The causal path (AR baseline models only) always uses the reference
+    implementation — the Pallas kernel is specialized for the bidirectional
+    diffusion hot loop.
+    """
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "reference"
+    if causal:
+        impl = "reference"
     if impl == "pallas":
         from ct_diffusionmodelbench_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, mask=mask)
     if impl == "reference":
-        return attention_reference(q, k, v, mask=mask)
+        return attention_reference(q, k, v, mask=mask, causal=causal)
     raise ValueError(f"unknown attention impl {impl!r}")
