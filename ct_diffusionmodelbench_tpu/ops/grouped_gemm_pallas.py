@@ -1,0 +1,161 @@
+"""Pallas grouped (ragged) GEMM for MoE expert FFNs.
+
+Megablocks-style layout: tokens are already sorted by expert
+(ops/grouped_gemm.py); each expert's rows are padded up to a multiple of the
+row-tile so **every row tile belongs to exactly one expert**.  A
+scalar-prefetched ``tile_expert`` vector then routes each grid step's weight
+DMA (PrefetchScalarGridSpec — the index map reads the expert id before the
+kernel body runs), so only routed experts' weights ever cross HBM→VMEM and
+the MXU never multiplies one token by two experts' weights.
+
+Padding cost: < num_experts * tile_m zero rows, which multiply against real
+weights but contribute nothing and are dropped on the unsort gather.
+
+Used when ``CTDB_GROUPED_GEMM=pallas``; the default grouped path is
+``jax.lax.ragged_dot`` (XLA's own grouped GEMM) — bench.py-style
+measurements pick the winner per shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_M = 64
+TILE_N = 128
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def padded_layout(group_sizes: jnp.ndarray, m: int, tile_m: int = TILE_M):
+    """Compute the expert-aligned padded row layout.
+
+    group_sizes: [E] int32 (sums to m).  Returns
+      dest:        [m]        padded destination row for each sorted row,
+      tile_expert: [m_pad/tile_m] expert id owning each row tile,
+      m_pad:       static padded row count.
+    """
+    e = group_sizes.shape[0]
+    m_pad = _round_up(m, tile_m) + e * tile_m  # static worst case
+
+    sizes = group_sizes.astype(jnp.int32)
+    offsets = jnp.cumsum(sizes) - sizes                       # [E] source starts
+    padded_sizes = _round_up_arr(sizes, tile_m)
+    pstarts = jnp.cumsum(padded_sizes) - padded_sizes         # [E] padded starts
+
+    row = jnp.arange(m, dtype=jnp.int32)
+    # group of each sorted row: searchsorted over source offsets
+    g = jnp.searchsorted(jnp.cumsum(sizes), row, side="right").astype(jnp.int32)
+    dest = pstarts[g] + (row - offsets[g])
+
+    tile_start = jnp.arange(m_pad // tile_m, dtype=jnp.int32) * tile_m
+    pend = jnp.cumsum(padded_sizes)
+    tile_expert = jnp.searchsorted(pend, tile_start, side="right").astype(jnp.int32)
+    tile_expert = jnp.minimum(tile_expert, e - 1)
+    return dest, tile_expert, m_pad
+
+
+def _round_up_arr(x, m):
+    return (x + m - 1) // m * m
+
+
+def _gmm_kernel(tile_expert_ref, x_ref, w_ref, o_ref):
+    o_ref[:, :] = jax.lax.dot_general(
+        x_ref[:, :], w_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def grouped_matmul_padded(
+    x_padded: jnp.ndarray,    # [M_pad, D], rows tile-aligned per expert
+    w: jnp.ndarray,           # [E, D, F]
+    tile_expert: jnp.ndarray,  # [M_pad / tile_m] int32
+    tile_m: int = TILE_M,
+    tile_n: int = TILE_N,
+) -> jnp.ndarray:
+    m_pad, d = x_padded.shape
+    e, _, f = w.shape
+    f_pad = _round_up(f, tile_n)
+    if f_pad != f:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, f_pad - f)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // tile_m, f_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((tile_m, d), lambda i, j, te: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, tile_n), lambda i, j, te: (te[i], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, te: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _gmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, f_pad), x_padded.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * d * f_pad,
+            bytes_accessed=(x_padded.size + m_pad * f_pad) * x_padded.dtype.itemsize
+            + w.size * w.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(tile_expert, x_padded, w)
+    return out[:, :f]
+
+
+def grouped_expert_ffn_pallas(
+    x: jnp.ndarray,            # [N, D]
+    topk_probs: jnp.ndarray,   # [N, K] f32
+    topk_idx: jnp.ndarray,     # [N, K] i32
+    we_gate: jnp.ndarray,      # [E, D, Fm]
+    we_up: jnp.ndarray,
+    we_down: jnp.ndarray,      # [E, Fm, D]
+    tile_m: int = TILE_M,
+) -> jnp.ndarray:
+    """Full expert FFN on the padded grouped layout: one scatter in, three
+    grouped GEMMs, one weighted gather out."""
+    n, d = x.shape
+    k = topk_idx.shape[1]
+    e = we_gate.shape[0]
+    m = n * k
+
+    flat_expert = topk_idx.reshape(-1)
+    order = jnp.argsort(flat_expert, stable=True)
+    token_of = order // k
+    group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
+
+    dest, tile_expert, m_pad = padded_layout(group_sizes, m, tile_m)
+
+    xs_padded = jnp.zeros((m_pad, d), x.dtype).at[dest].set(
+        jnp.take(x, token_of, axis=0))
+
+    gate = grouped_matmul_padded(xs_padded, we_gate, tile_expert, tile_m)
+    up = grouped_matmul_padded(xs_padded, we_up, tile_expert, tile_m)
+    h = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
+    out_padded = grouped_matmul_padded(h, we_down, tile_expert, tile_m)
+
+    out_sorted = jnp.take(out_padded, dest, axis=0)           # [M, D]
+    weights = topk_probs.reshape(-1)[order]
+    contrib = out_sorted.astype(jnp.float32) * weights[:, None]
+    out = jnp.zeros((n, d), jnp.float32).at[token_of].add(contrib)
+    return out.astype(x.dtype)
+
+
+# Backwards-compatible alias used by ops/grouped_gemm.py's env-var branch.
+def ragged_matmul(xs_sorted, w, group_sizes, tile_m: int = TILE_M):
+    """Self-contained ragged matmul over expert-sorted rows."""
+    m = xs_sorted.shape[0]
+    dest, tile_expert, m_pad = padded_layout(group_sizes, m, tile_m)
+    xp = jnp.zeros((m_pad, xs_sorted.shape[1]), xs_sorted.dtype).at[dest].set(xs_sorted)
+    out = grouped_matmul_padded(xp, w, tile_expert, tile_m)
+    return jnp.take(out, dest, axis=0)
