@@ -37,7 +37,9 @@ DEFAULT_TK = 512
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, tk, s_pad):
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *maybe_lse,
+                  scale, tk, s_pad, with_lse):
+    lse_ref = maybe_lse[0] if with_lse else None
     # Blocks are [1, 1, T, Dh] slices of the [B, H, S_pad, Dh] layout so the
     # trailing two dims satisfy Mosaic's (8, 128) tiling constraint.
     q = q_ref[0, 0, :, :]  # [TQ, Dh]
@@ -72,13 +74,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, tk, s_pad):
 
     out = acc / jnp.maximum(l, 1e-30)[:, None]
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+    if with_lse:
+        lse_ref[0, 0, :, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -90,48 +93,69 @@ def flash_attention(
     """q: [B, S, H, Dh]; k, v: [B, S, KV, Dh]; mask: [B, S] (1 = real).
 
     Returns [B, S, H, Dh] in q.dtype.  Numerics oracle:
-    ops.attention.attention_reference (asserted in tests).
+    ops.attention.attention_reference (asserted in tests).  Differentiable:
+    the backward pass runs the fused Pallas kernels in
+    ops/flash_attention_bwd.py (the pad/transpose wrapper is plain jnp, so
+    JAX chains its VJP around the custom core).
     """
-    return _flash_forward(q, k, v, mask, tile_q, tile_k)
-
-
-def _flash_forward(q, k, v, mask, tile_q, tile_k):
     b, s, h, dh = q.shape
-    kv = k.shape[2]
-    rep = h // kv
-    scale = dh ** -0.5
+    tq, tk, sq_pad, sk_pad = _tiles(s, tile_q, tile_k)
+    qp, kp, vp, bias = _prepare(q, k, v, mask, sq_pad, sk_pad)
+    op = _flash_core(s, tq, tk, qp, kp, vp, bias)
+    return op.transpose(0, 2, 1, 3)[:, :s]
 
+
+def _tiles(s, tile_q, tile_k):
     # Adaptive tiling: short sequences (the 300-2500 token regime every
     # denoise step runs at) use a single query tile of exactly round_up(s, 8)
     # rows and a single kv tile of round_up(s, 128) — zero padding waste,
     # one-shot online softmax.  Long sequences fall back to fixed tiles.
-    if s <= 2 * tile_q:
-        tq = _round_up(s, 8)
-    else:
-        tq = tile_q
-    if s <= 2 * tile_k:
-        tk = _round_up(s, 128)
-    else:
-        tk = tile_k
-    sq_pad = _round_up(s, tq)
-    sk_pad = _round_up(s, tk)
+    tq = _round_up(s, 8) if s <= 2 * tile_q else tile_q
+    tk = _round_up(s, 128) if s <= 2 * tile_k else tile_k
+    return tq, tk, _round_up(s, tq), _round_up(s, tk)
 
-    # [B, S, H, Dh] → [B, H, S_pad, Dh]: heads out of the tiled trailing dims.
+
+def _prepare(q, k, v, mask, sq_pad, sk_pad):
+    """Pad + transpose into the [B, H, S_pad, Dh] kernel layout."""
+    b, s = q.shape[:2]
     qp = jnp.pad(q, ((0, 0), (0, sq_pad - s), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
     kp = jnp.pad(k, ((0, 0), (0, sk_pad - s), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
     vp = jnp.pad(v, ((0, 0), (0, sk_pad - s), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-
-    if mask is None:
-        valid = jnp.ones((b, s), jnp.float32)
-    else:
-        valid = mask.astype(jnp.float32)
+    valid = jnp.ones((b, s), jnp.float32) if mask is None else mask.astype(jnp.float32)
     valid = jnp.pad(valid, ((0, 0), (0, sk_pad - s)))
-    bias = jnp.where(valid > 0, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]  # [B, 1, S_pad]
+    bias = jnp.where(valid > 0, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+    return qp, kp, vp, bias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _flash_core(s, tq, tk, qp, kp, vp, bias):
+    """Padded-layout core: qp [B,H,Sq,Dh], kp/vp [B,KV,Sk,Dh], bias [B,1,Sk]
+    → op [B,H,Sq,Dh]."""
+    op, _ = _run_forward(s, tq, tk, qp, kp, vp, bias, with_lse=False)
+    return op
+
+
+def _run_forward(s, tq, tk, qp, kp, vp, bias, with_lse):
+    b, h, sq_pad, dh = qp.shape
+    kv = kp.shape[1]
+    rep = h // kv
+    sk_pad = kp.shape[2]
+    scale = dh ** -0.5
 
     grid = (b, h, sq_pad // tq)
-    kernel = functools.partial(_flash_kernel, scale=scale, tk=tk, s_pad=sk_pad)
+    kernel = functools.partial(_flash_kernel, scale=scale, tk=tk,
+                               s_pad=sk_pad, with_lse=with_lse)
+    o_spec = pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs, out_shape = o_spec, jax.ShapeDtypeStruct((b, h, sq_pad, dh), qp.dtype)
+    if with_lse:
+        lse_spec = pl.BlockSpec((1, 1, tq, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = (o_spec, lse_spec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32))
 
-    out = pl.pallas_call(
+    result = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -144,9 +168,8 @@ def _flash_forward(q, k, v, mask, tile_q, tile_k):
             pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, dh), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * s * dh,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
@@ -154,22 +177,29 @@ def _flash_forward(q, k, v, mask, tile_q, tile_k):
         ),
         interpret=jax.default_backend() != "tpu",
     )(qp, kp, vp, bias)
-    return out.transpose(0, 2, 1, 3)[:, :s]
+
+    if with_lse:
+        return result
+    return result, None
 
 
-def _fwd(q, k, v, mask, tile_q, tile_k):
-    out = _flash_forward(q, k, v, mask, tile_q, tile_k)
-    return out, (q, k, v, mask)
+def _core_fwd(s, tq, tk, qp, kp, vp, bias):
+    op, lse = _run_forward(s, tq, tk, qp, kp, vp, bias, with_lse=True)
+    return op, (qp, kp, vp, bias, op, lse)
 
 
-def _bwd(tile_q, tile_k, res, g):
-    # Reference VJP (recompute): correct gradients, O(S^2) memory transiently.
-    # Training defaults to attn_impl='reference' where XLA fuses this anyway;
-    # a fused Pallas backward is a later-round optimization.
-    q, k, v, mask = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, mask), q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+def _core_bwd(s, tq, tk, res, g):
+    from ct_diffusionmodelbench_tpu.ops.flash_attention_bwd import flash_attention_bwd
+
+    qp, kp, vp, bias, op, lse = res
+    dh = qp.shape[-1]
+    # Upstream g is already in the padded [B, H, Sq, Dh] layout; padded query
+    # rows arrive as zeros (the caller's slice VJP), which is exactly what
+    # keeps them out of dk/dv.
+    dq, dk, dv = flash_attention_bwd(qp, kp, vp, bias, op, g.astype(qp.dtype), lse,
+                                     scale=dh ** -0.5, tq=tq, tk=tk)
+    return (dq.astype(qp.dtype), dk.astype(kp.dtype), dv.astype(vp.dtype),
+            jnp.zeros_like(bias))
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_core.defvjp(_core_fwd, _core_bwd)

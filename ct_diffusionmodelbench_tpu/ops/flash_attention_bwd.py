@@ -1,0 +1,164 @@
+"""Pallas backward kernels for the bidirectional flash attention.
+
+FlashAttention-2-style backward, non-causal, GQA-aware:
+
+    p_ij  = exp(q_i·k_j * scale + bias_j - lse_i)
+    dv_j  = Σ_i p_ij · do_i
+    ds_ij = p_ij · (do_i·v_j − D_i) · scale,   D_i = Σ_d do_id · o_id
+    dq_i  = Σ_j ds_ij k_j
+    dk_j  = Σ_i ds_ij q_i
+
+Two kernels: one gridded over query tiles (dq), one over kv tiles (dk/dv,
+accumulating across the rep query heads that share each kv head).  The
+forward saves per-row logsumexp; padded query rows carry zero ``do`` so every
+spurious term they could contribute vanishes.  All inputs are in the
+[B, H, S_pad, Dh] kernel layout prepared by flash_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, dsum_ref,
+               dq_ref, *, scale, tk, sk_pad):
+    q = q_ref[0, 0, :, :]                   # [TQ, Dh]
+    do = do_ref[0, 0, :, :]
+    lse = lse_ref[0, 0, :, 0]               # [TQ]
+    dsum = dsum_ref[0, 0, :, 0]             # [TQ]
+    tq, dh = q.shape
+    nk = sk_pad // tk
+
+    def body(j, acc):
+        k_blk = k_ref[0, 0, pl.ds(j * tk, tk), :]
+        v_blk = v_ref[0, 0, pl.ds(j * tk, tk), :]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[0, 0, pl.ds(j * tk, tk)][None, :]
+        p = jnp.exp(s - lse[:, None])                       # [TQ, TK]
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dsum[:, None]) * scale
+        return acc + jax.lax.dot_general(
+            ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, nk, body, jnp.zeros((tq, dh), jnp.float32))
+    dq_ref[0, 0, :, :] = acc.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, dsum_ref,
+                dk_ref, dv_ref, *, scale, tq, sq_pad, rep):
+    k_blk = k_ref[0, 0, :, :]               # [TK, Dh]
+    v_blk = v_ref[0, 0, :, :]
+    bias = bias_ref[0, 0, :]                # [TK]
+    tk, dh = k_blk.shape
+    nq = sq_pad // tq
+
+    def body(c, carry):
+        dk, dv = carry
+        r = c // nq                          # which of the rep q heads
+        i = c % nq                           # which q tile
+        q = q_ref[0, r, pl.ds(i * tq, tq), :]
+        do = do_ref[0, r, pl.ds(i * tq, tq), :]
+        lse = lse_ref[0, r, pl.ds(i * tq, tq), 0]
+        dsum = dsum_ref[0, r, pl.ds(i * tq, tq), 0]
+
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias[None, :]
+        p = jnp.exp(s - lse[:, None])                        # [TQ, TK]
+        dv = dv + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dsum[:, None]) * scale
+        dk = dk + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk, dv
+
+    zeros = jnp.zeros((tk, dh), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, rep * nq, body, (zeros, zeros))
+    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+
+
+def flash_attention_bwd(qp, kp, vp, bias, op, dop, lse, *, scale, tq, tk):
+    """All tensors in kernel layout: qp/op/dop [B, H, Sq, Dh];
+    kp/vp [B, KV, Sk, Dh]; bias [B, 1, Sk]; lse [B, H, Sq, 1].
+    Returns (dq, dk, dv) in the same layout, f32."""
+    b, h, sq_pad, dh = qp.shape
+    kv = kp.shape[1]
+    rep = h // kv
+    sk_pad = kp.shape[2]
+    interpret = jax.default_backend() != "tpu"
+
+    dsum = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32),
+                   axis=-1, keepdims=True)  # [B, H, Sq, 1]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, tk=tk, sk_pad=sk_pad),
+        grid=(b, h, sq_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_pad, dh), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_pad, dh), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tq, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, dh), jnp.float32),
+        interpret=interpret,
+    )(qp, kp, vp, bias, dop, lse, dsum)
+
+    # dk/dv: grid over kv heads & kv tiles; each program walks rep * nQ
+    # query tiles of its group.  Per-(b, kvh) q/do/lse/dsum slabs enter VMEM.
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, tq=tq, sq_pad=sq_pad, rep=rep),
+        grid=(b, kv, sk_pad // tk),
+        in_specs=[
+            pl.BlockSpec((1, rep, sq_pad, dh), lambda bi, gi, ki: (bi, gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk, dh), lambda bi, gi, ki: (bi, gi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk, dh), lambda bi, gi, ki: (bi, gi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk), lambda bi, gi, ki: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rep, sq_pad, dh), lambda bi, gi, ki: (bi, gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rep, sq_pad, 1), lambda bi, gi, ki: (bi, gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rep, sq_pad, 1), lambda bi, gi, ki: (bi, gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, tk, dh), lambda bi, gi, ki: (bi, gi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk, dh), lambda bi, gi, ki: (bi, gi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, kv, sk_pad, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, kv, sk_pad, dh), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias, dop, lse, dsum)
+    return dq, dk, dv

@@ -99,8 +99,9 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                     forward_fn: Optional[Callable] = None):
     """Jitted step over a [A, B, L] microbatch stack (A = grad_accum)."""
     if forward_fn is None:
-        forward_fn = make_forward_fn(
-            model_cfg.replace(attn_impl="reference"), remat=train_cfg.remat)
+        # attn_impl="auto": Pallas flash fwd+bwd on TPU (gradients via
+        # ops/flash_attention_bwd.py), jnp reference elsewhere.
+        forward_fn = make_forward_fn(model_cfg, remat=train_cfg.remat)
     mask_id = model_cfg.mask_token_id
     if mask_id is None:
         raise ValueError("model config needs mask_token_id for diffusion SFT")

@@ -1,0 +1,84 @@
+"""Flash attention numerics vs the jnp reference (CPU interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ct_diffusionmodelbench_tpu.ops.attention import attention_reference
+from ct_diffusionmodelbench_tpu.ops.flash_attention import flash_attention
+
+
+def _qkv(b, s, h, kv, dh, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    q = jax.random.normal(ks[0], (b, s, h, dh), dtype)
+    k = jax.random.normal(ks[1], (b, s, kv, dh), dtype)
+    v = jax.random.normal(ks[2], (b, s, kv, dh), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("b,s,h,kv,dh", [
+    (1, 200, 4, 4, 64),
+    (2, 300, 8, 2, 128),
+    (1, 520, 4, 1, 64),   # multi-tile path (tiles 128/128)
+])
+def test_forward_matches_reference(b, s, h, kv, dh):
+    q, k, v = _qkv(b, s, h, kv, dh)
+    mask = (jax.random.uniform(jax.random.key(9), (b, s)) > 0.2).astype(jnp.int32)
+    for m in (None, mask):
+        ref = attention_reference(q, k, v, m)
+        ours = flash_attention(q, k, v, m, 128, 128)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(ours),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("b,s,h,kv,dh", [
+    (1, 96, 4, 4, 32),
+    (1, 200, 4, 2, 64),   # GQA backward (dk/dv accumulate over rep heads)
+])
+def test_backward_matches_reference(b, s, h, kv, dh):
+    q, k, v = _qkv(b, s, h, kv, dh, seed=3)
+    mask = (jax.random.uniform(jax.random.key(4), (b, s)) > 0.15).astype(jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, 64, 128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, mask) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
+def test_backward_multi_tile():
+    """Backward across several q and kv tiles."""
+    q, k, v = _qkv(1, 300, 2, 2, 32, seed=5)
+
+    def f(impl):
+        def loss(q, k, v):
+            if impl == "flash":
+                out = flash_attention(q, k, v, None, 64, 128)
+            else:
+                out = attention_reference(q, k, v, None)
+            return jnp.sum(jnp.sin(out))
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    for a, b_ in zip(f("flash"), f("ref")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_grad_zero_at_masked_keys():
+    """Padding keys must receive zero dk/dv."""
+    q, k, v = _qkv(1, 64, 2, 2, 32, seed=6)
+    mask = jnp.ones((1, 64), jnp.int32).at[0, 50:].set(0)
+
+    def loss(k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, 64, 128))
+
+    dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
+    assert np.abs(np.asarray(dk)[0, 50:]).max() == 0
+    assert np.abs(np.asarray(dv)[0, 50:]).max() == 0
