@@ -92,9 +92,46 @@ def attention(
     if causal:
         impl = "reference"
     if impl == "pallas":
+        from ct_diffusionmodelbench_tpu.parallel.mesh import current_mesh
+
+        mesh = current_mesh()
+        if mesh is not None:
+            return _flash_sharded(q, k, v, mask, mesh)
         from ct_diffusionmodelbench_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, mask=mask)
     if impl == "reference":
         return attention_reference(q, k, v, mask=mask, causal=causal)
     raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def _flash_sharded(q, k, v, mask, mesh):
+    """shard_map the flash kernel over the mesh: batch over 'data', heads
+    over 'model'.  Attention is head-local, so no collectives are needed —
+    each shard runs the unmodified kernel on its local heads.  Falls back to
+    the jnp reference when the head counts don't divide the model axis."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from ct_diffusionmodelbench_tpu.ops.flash_attention import flash_attention
+    from ct_diffusionmodelbench_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    dp = mesh.shape[DATA_AXIS]
+    tp = mesh.shape[MODEL_AXIS]
+    b, _, h, _ = q.shape
+    kv = k.shape[2]
+    if h % tp or kv % tp or b % dp:
+        return attention_reference(q, k, v, mask=mask)
+
+    if mask is None:
+        mask = jnp.ones(q.shape[:2], jnp.int32)
+    spec_qkv = P(DATA_AXIS, None, MODEL_AXIS, None)
+    f = jax.shard_map(
+        partial(flash_attention),
+        mesh=mesh,
+        in_specs=(spec_qkv, spec_qkv, spec_qkv, P(DATA_AXIS, None)),
+        out_specs=spec_qkv,
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+    )
+    return f(q, k, v, mask)

@@ -90,15 +90,16 @@ def shard_params(cfg: ModelConfig, params: dict, mesh: jax.sharding.Mesh) -> dic
 
 
 def make_sharded_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
-                         remat: bool = False):
+                         remat: bool = False, attn_impl: str = "auto"):
     """jit-compiled forward with TP param shardings + DP batch sharding.
 
-    Multi-chip runs use the jnp reference attention (XLA partitions the
-    einsums from the annotations and fuses the softmax); the Pallas flash
-    kernel is the single-chip fast path until its shard_map wrapper lands.
+    ``attn_impl='auto'`` uses the Pallas flash kernel on TPU via its
+    shard_map wrapper (heads over 'model', batch over 'data'; falls back to
+    the jnp reference if head counts don't divide the model axis) and the
+    jnp reference elsewhere.
     Returns ``f(params, input_ids, attn_mask=None) -> (logits, aux)``.
     """
-    cfg = cfg.replace(attn_impl="reference")
+    cfg = cfg.replace(attn_impl=attn_impl)
     specs = param_specs(cfg)
     pshard = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                           is_leaf=lambda x: isinstance(x, P))
