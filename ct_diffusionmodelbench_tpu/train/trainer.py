@@ -59,6 +59,7 @@ class TrainConfig:
     logging_steps: int = 10
     save_steps: int = 0                # 0 = final save only (save_strategy="no")
     save_total_limit: int = 1
+    save_optimizer_state: bool = False  # large; only for resume (train.py:43)
     seed: int = 42
     aux_loss_coef: float = 0.01
     variable_length: bool = True
@@ -296,11 +297,16 @@ class Trainer:
 
     def _finalize(self, t_start, samples_seen, status):
         elapsed = time.time() - t_start
+        # total_flos like HF's final metrics entry (6 * params * tokens for
+        # fwd+bwd; BASELINE.md records the reference's value).
+        tokens_seen = samples_seen * self.cfg.max_length
+        total_flos = 6.0 * self.model_cfg.param_count() * tokens_seen
         final = {
             "step": self.global_step,
             "train_runtime": round(elapsed, 2),
             "train_samples_per_second": round(samples_seen / max(elapsed, 1e-9), 3),
             "train_steps_per_second": round(self.global_step / max(elapsed, 1e-9), 3),
+            "total_flos": total_flos,
             "train_loss": (self.training_logs[-1].get("loss")
                            if self.training_logs else None),
             "status": status,
@@ -337,8 +343,46 @@ class Trainer:
         t0 = time.time()
         log_timing(f"Starting optimized save to {output_dir}")
         save_checkpoint(output_dir, self.model_cfg, self.params)
+        if self.cfg.save_optimizer_state:
+            self.save_training_state(output_dir)
         if self.tokenizer is not None:
             self.tokenizer.save_pretrained(output_dir)
         dt = time.time() - t0
         self.save_times.append(dt)
         log_timing(f"Save completed in {dt:.2f} seconds")
+
+    # -- optimizer-state checkpoint / resume --------------------------------
+    # The reference's resume story is "point MODEL_NAME at the previous
+    # output dir" (Training_1kto21k/train.py:36,116-149) with optimizer state
+    # optionally saved (train_fast_save.py:300-304).  Here the optimizer
+    # state round-trips through safetensors keyed by its tree path.
+
+    def save_training_state(self, output_dir: str):
+        from ct_diffusionmodelbench_tpu.io.safetensors_io import save_safetensors
+
+        out = Path(output_dir)
+        flat = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(self.opt_state)[0]:
+            flat[jax.tree_util.keystr(path)] = np.asarray(leaf)
+        save_safetensors(out / "optimizer.safetensors", flat)
+        with open(out / "trainer_state.json", "w") as f:
+            json.dump({"global_step": self.global_step,
+                       "training_logs": to_jsonable(self.training_logs)}, f)
+
+    def load_training_state(self, output_dir: str):
+        from ct_diffusionmodelbench_tpu.io.safetensors_io import load_safetensors
+
+        out = Path(output_dir)
+        flat = load_safetensors(out / "optimizer.safetensors")
+        paths, treedef = jax.tree_util.tree_flatten_with_path(self.opt_state)
+        leaves = []
+        for path, old_leaf in paths:
+            arr = flat[jax.tree_util.keystr(path)]
+            leaves.append(jnp.asarray(arr, dtype=old_leaf.dtype))
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        state_file = out / "trainer_state.json"
+        if state_file.exists():
+            with open(state_file) as f:
+                st = json.load(f)
+            self.global_step = st.get("global_step", 0)
+            self.training_logs = st.get("training_logs", [])
