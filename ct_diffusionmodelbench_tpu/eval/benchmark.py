@@ -67,11 +67,15 @@ class BenchmarkConfig:
 
 class DiffusionBenchmark:
     def __init__(self, runner: ModelRunner, config: BenchmarkConfig,
-                 verifier=None, quiet: bool = False):
+                 verifier=None, quiet: bool = False,
+                 pipeline_verification: bool = True):
         self.runner = runner
         self.cfg = config
         self.verifier = verifier
         self.quiet = quiet
+        # Overlap CPU-bound Lean compilation with device-bound generation
+        # (the reference's sweep is fully serial, SURVEY.md §7 hard-part 6).
+        self.pipeline_verification = pipeline_verification and verifier is not None
         self.results: List[Dict] = []
         self.stats = defaultdict(list)
 
@@ -152,6 +156,24 @@ class DiffusionBenchmark:
         failed_generations: List[Dict] = []
         category_stats = defaultdict(list)
 
+        async_verifier = None
+        pending: List[tuple] = []
+        if self.pipeline_verification:
+            from ct_diffusionmodelbench_tpu.eval.lean import AsyncVerifier
+
+            async_verifier = AsyncVerifier(self.verifier)
+
+        def settle_pending():
+            for result, fut in pending:
+                try:
+                    ok, msg = fut.result()
+                except Exception as e:
+                    ok, msg = False, f"Verification exception: {e}"
+                result["lean_compilation_success"] = ok
+                result["lean_error_message"] = msg
+                self.stats["compilation_success"].append(ok)
+            pending.clear()
+
         for i in range(start_idx, end_idx):
             entry = dataset[i]
             problem_statement = (entry.get("informal_prefix") or "").strip()
@@ -162,7 +184,7 @@ class DiffusionBenchmark:
             solution, gen_time, success = self.generate_solution(problem_statement)
             quality = evaluate_solution_quality(
                 solution, formal_statement, problem_statement,
-                verifier=self.verifier,
+                verifier=None if async_verifier else self.verifier,
                 style="dream" if c.style == "dream" else c.style,
             )
 
@@ -198,14 +220,20 @@ class DiffusionBenchmark:
                 })
 
             self._update_stats(result)
+            if async_verifier is not None:
+                pending.append((result, async_verifier.submit(solution)))
             category_stats[result["category"]].append(result)
             if not self.quiet:
                 self._print_sample(i, end_idx - start_idx, result)
 
             if (i + 1) % save_interval == 0 or i == end_idx - 1:
+                settle_pending()
                 self._save_batch(results_dir, i + 1, failed_generations)
                 self._print_intermediate(i + 1 - start_idx)
 
+        settle_pending()
+        if async_verifier is not None:
+            async_verifier.shutdown()
         print(f"\nBenchmark completed! Results saved to {results_dir}/")
         return self.compile_final_report(results_dir, failed_generations,
                                          category_stats)
@@ -223,7 +251,8 @@ class DiffusionBenchmark:
             s["lean_tactics_counts"].append(r["lean_tactics_used"])
             s["completeness_rate"].append(r["appears_complete"])
             s["complexity_scores"].append(r["complexity_score"])
-        s["compilation_success"].append(r.get("lean_compilation_success", False))
+        if not self.pipeline_verification:  # else settled by the async pool
+            s["compilation_success"].append(r.get("lean_compilation_success", False))
 
     def _print_sample(self, idx, n, r):
         print("\n" + "=" * 100)

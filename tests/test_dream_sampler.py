@@ -98,3 +98,19 @@ def test_top_k_restricts_support():
 def test_invalid_alg_raises():
     with pytest.raises(NotImplementedError):
         DreamSamplerConfig(alg="not-an-alg")
+
+
+def test_alg_temp_positions_sampled(tiny_dream):
+    """alg_temp > 0 samples unmask positions (Gumbel-top-k) instead of
+    deterministic top-k: different keys produce different unmask orders but
+    all masks still fill."""
+    cfg, params, fwd = tiny_dream
+    prompt = jax.random.randint(jax.random.key(36), (1, 6), 3, cfg.vocab_size - 2)
+    kw = dict(steps=4, max_new_tokens=8, temperature=0.0, alg="entropy",
+              alg_temp=2.0, mask_id=MASK, output_history=True)
+    _, h1 = dream_generate(fwd, params, prompt, key=jax.random.key(1), **kw)
+    _, h2 = dream_generate(fwd, params, prompt, key=jax.random.key(2), **kw)
+    seq1, seq2 = np.asarray(h1)[-1], np.asarray(h2)[-1]
+    assert not (seq1 == MASK).any() and not (seq2 == MASK).any()
+    # intermediate unmask order differs between keys
+    assert (np.asarray(h1) != np.asarray(h2)).any()
