@@ -41,12 +41,15 @@ def grouped_expert_ffn(
     we_up: jnp.ndarray,       # [E, D, Fm]
     we_down: jnp.ndarray,     # [E, Fm, D]
 ) -> jnp.ndarray:
-    # Default on TPU: the Pallas kernel (2.7x faster than ragged_dot at the
-    # LLaDA-MoE shape: 48.5 ms vs 131.2 ms for N=2048,K=8,E=64,D=2048,
-    # Fm=1408 bf16 on v5e).  CTDB_GROUPED_GEMM=ragged forces the XLA path.
+    # Default on TPU: the Pallas kernel for large token counts (2.7x faster
+    # than ragged_dot at N=2048,K=8,E=64,D=2048,Fm=1408 bf16 on v5e: 48.5 ms
+    # vs 131.2 ms), ragged_dot for small ones where runtimes tie and the
+    # Pallas path compiles ~5x slower (single-prompt inference).
+    # CTDB_GROUPED_GEMM=pallas|ragged forces a backend.
     choice = os.environ.get("CTDB_GROUPED_GEMM")
     if choice is None:
-        choice = "pallas" if jax.default_backend() == "tpu" else "ragged"
+        big = x.shape[0] * topk_idx.shape[1] >= 4096
+        choice = "pallas" if (jax.default_backend() == "tpu" and big) else "ragged"
     if choice == "pallas":
         from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import (
             grouped_expert_ffn_pallas,
