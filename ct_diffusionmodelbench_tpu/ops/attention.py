@@ -88,7 +88,13 @@ def attention(
     diffusion hot loop.
     """
     if impl == "auto":
-        impl = "pallas" if _on_tpu() else "reference"
+        # Measured on v5e (llada-2b, fused sampler): XLA's fused attention
+        # ties or beats the standalone Pallas kernel up to S≈1280 — the
+        # pallas_call is a fusion barrier, and attention is only ~3% of the
+        # FLOPs at these shapes — while the O(S²) reference buffers start to
+        # dominate HBM beyond ~2k (reference OOMs training at S=2560).
+        # Dispatch on sequence length; override with impl= or cfg.attn_impl.
+        impl = ("pallas" if _on_tpu() and q.shape[1] >= 2048 else "reference")
     if causal:
         impl = "reference"
     if impl == "pallas":
