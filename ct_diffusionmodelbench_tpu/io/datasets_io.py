@@ -61,8 +61,11 @@ def load_hub_or_local(name_or_path: str, split: Optional[str] = "train"):
     if p.exists():
         if p.is_dir():
             ds = datasets.load_from_disk(str(p))
-            if split and hasattr(ds, "keys") and split in getattr(ds, "column_names", {}) is None:
-                ds = ds[split]
+            # DatasetDict → pick the requested split (or the only one).
+            if isinstance(ds, datasets.DatasetDict):
+                if split and split in ds:
+                    return ds[split]
+                return ds[next(iter(ds))]
             return ds
         ds = datasets.load_dataset("json", data_files=str(p), split="train")
         return ds

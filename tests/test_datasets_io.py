@@ -89,6 +89,16 @@ def test_load_local_jsonl(tmp_path):
     assert name == "train" and len(split) == 5
 
 
+def test_load_from_disk_dir(tmp_path):
+    ds = datasets.Dataset.from_dict({"a": [1, 2, 3]})
+    dd = datasets.DatasetDict({"train": ds, "test": ds.select([0])})
+    dd.save_to_disk(str(tmp_path / "dict"))
+    assert len(load_hub_or_local(str(tmp_path / "dict"), split="test")) == 1
+    assert len(load_hub_or_local(str(tmp_path / "dict"), split="train")) == 3
+    ds.save_to_disk(str(tmp_path / "plain"))
+    assert len(load_hub_or_local(str(tmp_path / "plain"))) == 3
+
+
 def test_load_minif2f_filters_split(tmp_path):
     data = [{"name": "a", "split": "test"}, {"name": "b", "split": "valid"},
             {"name": "c", "split": "test"}]
