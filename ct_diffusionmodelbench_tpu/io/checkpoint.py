@@ -143,8 +143,9 @@ def load_checkpoint(
         if not cfg_path.exists():
             raise FileNotFoundError(f"{cfg_path} missing and no cfg given")
         cfg = config_from_hf(cfg_path, name=model_dir.name)
-    dt = np.dtype(ml_dtypes.bfloat16) if (dtype or cfg.dtype) == "bfloat16" \
-        else np.dtype(dtype or cfg.dtype)
+    target = dtype or cfg.dtype
+    dt = np.dtype(ml_dtypes.bfloat16) if target == "bfloat16" else np.dtype(target)
+    cfg = cfg.replace(dtype=target)  # keep config honest about loaded dtype
 
     tensors = _read_all_tensors(model_dir)
 

@@ -101,6 +101,12 @@ def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask, 
     (chat_finetuned.py:95-98), so they can never be selected — while skipping
     ~(S/block_length)x of the LM-head matmul and the entire full-width
     softmax/argmax.
+
+    Known (pathological) divergence: if the *prompt itself* contains mask_id
+    tokens, the reference lets them compete for unmask slots in every block
+    whose end lies after them (it only -infs positions *beyond* the block);
+    the block-sliced loop never revisits positions before the block.  Real
+    prompts never contain the mask token.
     """
     B, S = x.shape
     bl = sc.block_length

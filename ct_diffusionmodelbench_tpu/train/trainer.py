@@ -208,11 +208,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _batches(self, dataset, rows_per_step, shuffle):
+    def _batches(self, dataset, rows_per_step, shuffle, drop_last=None):
         idx = np.arange(len(dataset))
         if shuffle:
             self._rng.shuffle(idx)
-        end = len(idx) - (len(idx) % rows_per_step) if self.cfg.drop_last else len(idx)
+        if drop_last is None:
+            drop_last = self.cfg.drop_last
+        end = len(idx) - (len(idx) % rows_per_step) if drop_last else len(idx)
         for lo in range(0, end, rows_per_step):
             yield [dataset[i] for i in idx[lo: lo + rows_per_step]]
 
@@ -241,7 +243,10 @@ class Trainer:
         losses = []
         key = jax.random.key(self.cfg.seed + 10_000)
         rows_per = self.cfg.batch_size
-        for rows in self._batches(self.eval_dataset, rows_per, shuffle=False):
+        # eval keeps the last partial batch (drop_last only applies to train,
+        # matching HF Trainer's dataloader semantics).
+        for rows in self._batches(self.eval_dataset, rows_per, shuffle=False,
+                                  drop_last=False):
             batch = self.collator(rows, train=False)
             key, sub = jax.random.split(key)
             m = self.eval_step(self.params,
