@@ -60,7 +60,10 @@ def main(argv=None):
         runner = ModelRunner.from_dir(args.model_dir)
     else:
         raise SystemExit("need --model-dir or --preset")
-    runner.cfg = runner.cfg.replace(causal=True)
+    # AR baseline semantics: causal mask, and NO diffusion logit shift —
+    # ar_generate reads logits[:, pos-1] itself; leaving logit_shift on for a
+    # Dream/DiffuCoder checkpoint would double-shift and sample from pos-2.
+    runner.cfg = runner.cfg.replace(causal=True, logit_shift=False)
     # rebuild the forward for the causal config
     from ct_diffusionmodelbench_tpu.models.transformer import make_forward_fn
     runner.forward_fn = make_forward_fn(runner.cfg)

@@ -166,7 +166,7 @@ class DiffusionBenchmark:
         def settle_pending():
             for result, fut in pending:
                 try:
-                    ok, msg = fut.result()
+                    ok, msg, _dt = fut.result()
                 except Exception as e:
                     ok, msg = False, f"Verification exception: {e}"
                 result["lean_compilation_success"] = ok

@@ -99,11 +99,17 @@ class LakeProjectVerifier:
 
     def __init__(self, work_dir: Optional[Path] = None, timeout: int = 60,
                  update_timeout: int = 1800):
+        import threading
+
         self.work_dir = Path(work_dir) if work_dir else \
             Path(tempfile.mkdtemp(prefix="lean4_verify_"))
         self.timeout = timeout
         self.update_timeout = update_timeout
         self._updated = False
+        # One proof file + one lake workspace: builds must serialize even
+        # when driven from AsyncVerifier's pool (the pipeline win is
+        # generation/verification overlap, not concurrent builds).
+        self._lock = threading.Lock()
 
     def _bootstrap(self) -> Optional[str]:
         wd = self.work_dir
@@ -133,22 +139,23 @@ class LakeProjectVerifier:
         (benchmark_finetuned.py:157-161)."""
         if shutil.which("lake") is None:
             return False, "lake not found - install Lean 4 toolchain"
-        err = self._bootstrap()
-        if err:
-            return False, err
-        lean_content = f"{header}\n\n{formal_statement}\n{generated_proof}\n"
-        (self.work_dir / "MinifF2FEval.lean").write_text(lean_content)
-        try:
-            r = subprocess.run(["lake", "build"], cwd=self.work_dir,
-                               capture_output=True, text=True,
-                               timeout=self.timeout, env=_env_with_elan())
-            if r.returncode == 0:
-                return True, "Proof verified successfully"
-            return False, f"Compilation failed:\n{r.stderr}\n{r.stdout}"
-        except subprocess.TimeoutExpired:
-            return False, f"Verification timeout ({self.timeout}s)"
-        except Exception as e:
-            return False, f"Verification error: {e}"
+        with self._lock:
+            err = self._bootstrap()
+            if err:
+                return False, err
+            lean_content = f"{header}\n\n{formal_statement}\n{generated_proof}\n"
+            (self.work_dir / "MinifF2FEval.lean").write_text(lean_content)
+            try:
+                r = subprocess.run(["lake", "build"], cwd=self.work_dir,
+                                   capture_output=True, text=True,
+                                   timeout=self.timeout, env=_env_with_elan())
+                if r.returncode == 0:
+                    return True, "Proof verified successfully"
+                return False, f"Compilation failed:\n{r.stderr}\n{r.stdout}"
+            except subprocess.TimeoutExpired:
+                return False, f"Verification timeout ({self.timeout}s)"
+            except Exception as e:
+                return False, f"Verification error: {e}"
 
     # uniform interface with LeanVerifier
     def verify(self, solution: str) -> Tuple[bool, str]:
@@ -179,16 +186,29 @@ class FakeLeanVerifier:
 
 
 class AsyncVerifier:
-    """Overlap Lean verification (CPU/subprocess) with generation (TPU)."""
+    """Overlap Lean verification (CPU/subprocess) with generation (TPU).
+
+    Submitted jobs self-time: futures resolve to (ok, msg, build_seconds),
+    so pipelined drivers report the actual Lean build time instead of queue
+    wait (the reference's serial loop times the build directly,
+    benchmark_finetuned.py:390-399).
+    """
 
     def __init__(self, verifier, max_workers: int = 4):
         self.verifier = verifier
         self.pool = ThreadPoolExecutor(max_workers=max_workers)
 
+    def _timed(self, fn, *args):
+        import time as _time
+
+        t0 = _time.time()
+        ok, msg = fn(*args)
+        return ok, msg, _time.time() - t0
+
     def submit(self, *args) -> Future:
         if hasattr(self.verifier, "verify_proof") and len(args) == 3:
-            return self.pool.submit(self.verifier.verify_proof, *args)
-        return self.pool.submit(self.verifier.verify, *args)
+            return self.pool.submit(self._timed, self.verifier.verify_proof, *args)
+        return self.pool.submit(self._timed, self.verifier.verify, *args)
 
     def shutdown(self):
         self.pool.shutdown(wait=True)

@@ -203,12 +203,12 @@ def run_minif2f_evaluation(
             stats["total"] += 1
             stats["errors"] += 1
 
-    for result, fut, t_submit in pending:
+    for result, fut, _t_submit in pending:
         try:
-            ok, msg = fut.result()
+            ok, msg, build_time = fut.result()
         except Exception as e:
-            ok, msg = False, f"Verification exception: {e}"
-        settle(result, ok, msg, time.time() - t_submit)
+            ok, msg, build_time = False, f"Verification exception: {e}", 0.0
+        settle(result, ok, msg, build_time)
     if async_verifier is not None:
         async_verifier.shutdown()
 

@@ -47,12 +47,19 @@ class GenResult:
 class ModelRunner:
     def __init__(self, cfg: ModelConfig, params, tokenizer: Tokenizer,
                  family: Optional[str] = None,
-                 mask_id_override: Optional[int] = None):
+                 mask_id_override: Optional[int] = None,
+                 prompt_bucket: int = 64):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.family = family or infer_family(cfg)
         self.forward_fn = make_forward_fn(cfg)
+        # Left-pad prompts to a multiple of this so a 244-problem sweep
+        # compiles the fused denoise loop for a handful of shape classes
+        # instead of one per distinct prompt length (padding is numerically
+        # transparent: mask-aware attention + RoPE position restart; set 1 to
+        # disable for strict single-shape parity runs).
+        self.prompt_bucket = max(prompt_bucket, 1)
         self.mask_id = resolve_mask_id(
             config_mask_id=cfg.mask_token_id,
             tokenizer=tokenizer,
@@ -107,9 +114,14 @@ class ModelRunner:
         alg: str = "entropy",
         alg_temp: float = 0.0,
         seed: int = 0,
+        attn_mask=None,
     ) -> np.ndarray:
         prompt = jnp.asarray(prompt_ids)[None] if np.ndim(prompt_ids) == 1 \
             else jnp.asarray(prompt_ids)
+        if attn_mask is not None:
+            attn_mask = jnp.asarray(attn_mask)
+            if attn_mask.ndim == 1:
+                attn_mask = attn_mask[None]
         key = jax.random.key(seed)
         if self.family in ("llada", "llada-moe"):
             out = llada_generate(
@@ -117,13 +129,15 @@ class ModelRunner:
                 steps=steps, gen_length=gen_length, block_length=block_length,
                 temperature=temperature, cfg_scale=cfg_scale,
                 remasking=remasking, mask_id=self.mask_id,
-                avoid_eos=avoid_eos, eos_token_id=self.eos_token_id, key=key)
+                avoid_eos=avoid_eos, eos_token_id=self.eos_token_id,
+                attn_mask=attn_mask, key=key)
         else:
             out, _ = dream_generate(
                 self.forward_fn, self.params, prompt,
                 steps=steps, max_new_tokens=gen_length,
                 temperature=temperature, top_p=top_p, alg=alg,
-                alg_temp=alg_temp, mask_id=self.mask_id, key=key)
+                alg_temp=alg_temp, mask_id=self.mask_id,
+                attn_mask=attn_mask, key=key)
         return np.asarray(out)
 
     def generate(self, prompt_text: str, *, max_length: int = 2048,
@@ -131,8 +145,18 @@ class ModelRunner:
                  **kw) -> GenResult:
         ids = np.asarray(self.tokenizer.encode(prompt_text, max_length=max_length),
                          np.int32)
+        attn_mask = None
+        p = len(ids)
+        b = self.prompt_bucket
+        if b > 1 and p % b:
+            padded_len = (p + b - 1) // b * b
+            pad = padded_len - p
+            pad_id = self.tokenizer.pad_token_id or 0
+            ids = np.concatenate([np.full(pad, pad_id, np.int32), ids])
+            attn_mask = np.concatenate([np.zeros(pad, np.int32),
+                                        np.ones(p, np.int32)])
         t0 = time.time()
-        out = self.generate_ids(ids, **kw)[0]
+        out = self.generate_ids(ids, attn_mask=attn_mask, **kw)[0]
         latency = time.time() - t0
 
         cont = out[len(ids):]
@@ -166,6 +190,8 @@ class ModelRunner:
                    for t in prompt_texts]
         b = len(encoded)
         p = max(len(e) for e in encoded)
+        bk = self.prompt_bucket
+        p = (p + bk - 1) // bk * bk  # bucket the batch width too
         pad = self.tokenizer.pad_token_id or 0
         ids = np.full((b, p), pad, np.int32)
         mask = np.zeros((b, p), np.int32)

@@ -151,9 +151,10 @@ def grouped_expert_ffn_pallas(
     return out.astype(x.dtype)
 
 
-# Backwards-compatible alias used by ops/grouped_gemm.py's env-var branch.
 def ragged_matmul(xs_sorted, w, group_sizes, tile_m: int = TILE_M):
-    """Self-contained ragged matmul over expert-sorted rows."""
+    """Standalone ragged matmul over expert-sorted rows — the single-matmul
+    building block (grouped_expert_ffn_pallas fuses the three-FFN case with
+    one scatter/gather pair instead)."""
     m = xs_sorted.shape[0]
     dest, tile_expert, m_pad = padded_layout(group_sizes, m, tile_m)
     xp = jnp.zeros((m_pad, xs_sorted.shape[1]), xs_sorted.dtype).at[dest].set(xs_sorted)

@@ -80,8 +80,13 @@ def _filter_and_sample(logits, sc: DreamSamplerConfig, key):
     """
     work = logits / sc.temperature if sc.temperature > 0 else logits
 
-    if sc.temperature <= 0 and sc.alg != "topk_margin":
+    no_filter = (sc.top_p is None or sc.top_p >= 1.0) and sc.top_k is None
+    if sc.temperature <= 0 and (sc.alg == "entropy" or
+                                (no_filter and sc.alg in ("maskgit_plus", "origin"))):
         # Greedy shortcut: no prefilter needed — argmax + logsumexp only.
+        # Safe exactly when the confidence doesn't depend on top-p/top-k
+        # renormalization: entropy (computed on the full distribution either
+        # way), or probability algs with no filter configured.
         x0 = jnp.argmax(work, axis=-1).astype(jnp.int32)
         lse = jax.scipy.special.logsumexp(work, axis=-1)
         chosen_p = jnp.exp(jnp.max(work, axis=-1) - lse)
@@ -195,7 +200,6 @@ def _dream_loop(forward_fn, sc: DreamSamplerConfig, x, attn_mask, key, record_hi
 def make_dream_sampler(
     forward_fn: Callable,
     sampler_config: DreamSamplerConfig,
-    prompt_len: int,
     output_history: bool = False,
 ) -> Callable:
     """Returns ``sample(params, prompt_ids, attn_mask=None, key=None)``
@@ -249,6 +253,6 @@ def dream_generate(
                  prompt_ids.shape[0], attn_mask is not None, output_history)
     sampler = _SAMPLER_CACHE.get(cache_key)
     if sampler is None:
-        sampler = make_dream_sampler(forward_fn, sc, prompt_len, output_history)
+        sampler = make_dream_sampler(forward_fn, sc, output_history)
         _SAMPLER_CACHE[cache_key] = sampler
     return sampler(params, prompt_ids, attn_mask=attn_mask, key=key)

@@ -91,7 +91,8 @@ def _supports_logit_slice(forward_fn) -> bool:
         return False
 
 
-def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask, key):
+def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask,
+                  key, supports_slice=None):
     """The fused loop body. x: [B, P+G] int32; prompt_len: static int.
 
     Works block-sliced when the model forward supports ``logit_start``: only
@@ -112,7 +113,8 @@ def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask, 
     bl = sc.block_length
     spb = sc.steps_per_block
     prompt_index = x != sc.mask_id
-    sliced = _supports_logit_slice(forward_fn)
+    sliced = supports_slice if supports_slice is not None \
+        else _supports_logit_slice(forward_fn)
 
     def block_logits(x, block_start):
         """[B, bl, V] logits for the active block (CFG + avoid-EOS applied)."""
@@ -187,6 +189,9 @@ def make_llada_sampler(
     ``sample(params, prompt_ids, attn_mask=None, key=None) -> [B, P+G]``.
     """
     sc = sampler_config
+    # Detect logit-slice support on the *model* forward before it is wrapped
+    # — the closure below forwards kwargs, so the capability carries through.
+    supports_slice = _supports_logit_slice(forward_fn)
 
     @partial(jax.jit, static_argnames=())
     def sample(params, prompt_ids, attn_mask=None, key=None):
@@ -199,8 +204,9 @@ def make_llada_sampler(
         if attn_mask is not None:
             ones = jnp.ones((B, sc.gen_length), attn_mask.dtype)
             full_mask = jnp.concatenate([attn_mask, ones], axis=1)
-        fwd = lambda ids, m: forward_fn(params, ids, m)
-        return _denoise_loop(fwd, sc, x, prompt_len, full_mask, key)
+        fwd = lambda ids, m, **kw: forward_fn(params, ids, m, **kw)
+        return _denoise_loop(fwd, sc, x, prompt_len, full_mask, key,
+                             supports_slice=supports_slice)
 
     return sample
 

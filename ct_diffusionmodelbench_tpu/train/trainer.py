@@ -20,7 +20,6 @@ microbatches, not a Python loop with host syncs.
 from __future__ import annotations
 
 import json
-import signal
 import time
 from dataclasses import dataclass, field, asdict
 from pathlib import Path
@@ -218,13 +217,11 @@ class Trainer:
         for lo in range(0, end, rows_per_step):
             yield [dataset[i] for i in idx[lo: lo + rows_per_step]]
 
-    def _stack_microbatches(self, rows, train=True):
+    def _stack_microbatches(self, rows):
         a, b = self.cfg.grad_accum, self.cfg.batch_size
-        batch = self.collator(rows, train=train)
-        ids, plens = batch["input_ids"], batch["prompt_lengths"]
-        if not train:
-            return ids[None], plens[None]
-        return (ids.reshape(a, b, -1), plens.reshape(a, b))
+        batch = self.collator(rows, train=True)
+        return (batch["input_ids"].reshape(a, b, -1),
+                batch["prompt_lengths"].reshape(a, b))
 
     def _log(self, entry: Dict):
         entry = to_jsonable(entry)
@@ -270,7 +267,7 @@ class Trainer:
         try:
             for epoch in range(cfg.num_epochs):
                 for rows in self._batches(self.train_dataset, rows_per_step, shuffle=True):
-                    ids, plens = self._stack_microbatches(rows, train=True)
+                    ids, plens = self._stack_microbatches(rows)
                     key, sub = jax.random.split(key)
                     self.params, self.opt_state, metrics = self.train_step(
                         self.params, self.opt_state,
