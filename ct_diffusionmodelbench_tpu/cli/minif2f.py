@@ -38,6 +38,9 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=1,
                    help="Data-parallel prompt batch (left-padded; shards over "
                         "the mesh data axis when one is active)")
+    p.add_argument("--prompt-bucket", type=int, default=64,
+                   help="Left-pad prompts to multiples of this to bound jit "
+                        "recompiles (1 = exact shapes)")
     return p
 
 
@@ -51,6 +54,7 @@ def main(argv=None):
         runner = ModelRunner.from_dir(args.model_dir, mask_id_override=args.mask_id)
     else:
         raise SystemExit("need --model-dir or --preset")
+    runner.prompt_bucket = max(args.prompt_bucket, 1)
 
     run_minif2f_evaluation(
         runner,
