@@ -21,6 +21,7 @@ axis to match the scan-over-layers forward.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -154,36 +155,48 @@ def load_checkpoint(
             arr = arr.T
         return np.ascontiguousarray(arr).astype(dt, copy=False)
 
-    params: dict = {"blocks": {}}
-    for key, templates, tp in _global_specs(cfg):
-        arr = _find(tensors, templates)
+    # The heavy work is transposing/stacking GBs of mmapped tensors — numpy
+    # releases the GIL for the copies, so a thread pool cuts 16 GB-class
+    # checkpoint loads by ~the core count.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=min(16, (os.cpu_count() or 8)))
+
+    def fetch(key, templates, tp, **fmt):
+        arr = _find(tensors, templates, **fmt)
         if arr is None:
-            raise KeyError(f"checkpoint missing {key} (tried {templates})")
-        params[key] = jnp.asarray(convert(arr, tp))
+            raise KeyError(
+                f"checkpoint missing {key} {fmt or ''} (tried {templates})")
+        return convert(arr, tp)
 
+    params: dict = {"blocks": {}}
+    global_futs = {key: pool.submit(fetch, key, templates, tp)
+                   for key, templates, tp in _global_specs(cfg)}
+
+    layer_futs = {}
     for key, templates, tp in _layer_specs(cfg):
-        per_layer = []
-        for i in range(cfg.num_layers):
-            arr = _find(tensors, templates, i=i)
-            if arr is None:
-                raise KeyError(
-                    f"checkpoint missing layer {i} tensor {key} (tried {templates})")
-            per_layer.append(convert(arr, tp))
-        params["blocks"][key] = jnp.asarray(np.stack(per_layer))
-
+        layer_futs[key] = [pool.submit(fetch, key, templates, tp, i=i)
+                           for i in range(cfg.num_layers)]
+    expert_futs = {}
     if cfg.is_moe:
         for key, templates, tp in _expert_specs():
-            per_layer = []
-            for i in range(cfg.num_layers):
-                per_expert = []
-                for e in range(cfg.num_experts):
-                    arr = _find(tensors, templates, i=i, e=e)
-                    if arr is None:
-                        raise KeyError(
-                            f"checkpoint missing expert tensor {key} l{i} e{e}")
-                    per_expert.append(convert(arr, tp))
-                per_layer.append(np.stack(per_expert))
-            params["blocks"][key] = jnp.asarray(np.stack(per_layer))
+            expert_futs[key] = [
+                [pool.submit(fetch, key, templates, tp, i=i, e=e)
+                 for e in range(cfg.num_experts)]
+                for i in range(cfg.num_layers)
+            ]
+
+    try:
+        for key, fut in global_futs.items():
+            params[key] = jnp.asarray(fut.result())
+        for key, futs in layer_futs.items():
+            params["blocks"][key] = jnp.asarray(
+                np.stack([f.result() for f in futs]))
+        for key, grid in expert_futs.items():
+            params["blocks"][key] = jnp.asarray(np.stack(
+                [np.stack([f.result() for f in row]) for row in grid]))
+    finally:
+        pool.shutdown(wait=False)
 
     return cfg, params
 
