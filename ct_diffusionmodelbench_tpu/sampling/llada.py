@@ -61,6 +61,10 @@ class LLaDASamplerConfig:
     mask_id: int = 156895
     avoid_eos: bool = False
     eos_token_id: Optional[int] = None
+    confidence_dtype: str = "float32"   # parity knob: "bfloat16" rounds the
+                                        # softmax confidence like a bf16
+                                        # reference run before ranking
+                                        # (docs/PARITY.md §5)
 
     def __post_init__(self):
         if self.gen_length % self.block_length != 0:
@@ -161,6 +165,8 @@ def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask,
 
         if sc.remasking == "low_confidence":
             x0_p = token_confidence(logits, x0)
+            if sc.confidence_dtype == "bfloat16":
+                x0_p = x0_p.astype(jnp.bfloat16).astype(jnp.float32)
         else:  # random
             x0_p = jax.random.uniform(k_rand, x_blk.shape, jnp.float32)
 
@@ -229,6 +235,7 @@ def llada_generate(
     mask_id: int = 156895,
     avoid_eos: bool = False,
     eos_token_id: Optional[int] = None,
+    confidence_dtype: str = "float32",
     attn_mask: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
@@ -241,6 +248,7 @@ def llada_generate(
         steps=steps, gen_length=gen_length, block_length=block_length,
         temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
         mask_id=mask_id, avoid_eos=avoid_eos, eos_token_id=eos_token_id,
+        confidence_dtype=confidence_dtype,
     )
     prompt_len = int(prompt_ids.shape[1])
     cache_key = (id(forward_fn), dataclasses.astuple(sc), prompt_len,

@@ -111,6 +111,19 @@ def test_invalid_configs_raise():
         LLaDASamplerConfig(remasking="entropy")
 
 
+def test_confidence_dtype_parity_knob(tiny_dense):
+    """bf16 confidence rounding (docs/PARITY.md §5) runs, is deterministic,
+    and fills every mask."""
+    cfg, params, fwd = tiny_dense
+    prompt = jax.random.randint(jax.random.key(29), (1, 8), 3, cfg.vocab_size - 2)
+    kw = dict(steps=8, gen_length=8, block_length=4, mask_id=MASK,
+              confidence_dtype="bfloat16")
+    a = np.asarray(llada_generate(fwd, params, prompt, **kw))
+    b = np.asarray(llada_generate(fwd, params, prompt, **kw))
+    np.testing.assert_array_equal(a, b)
+    assert not (a == MASK).any()
+
+
 def test_random_remasking_fills_all(tiny_dense):
     cfg, params, fwd = tiny_dense
     prompt = jax.random.randint(jax.random.key(28), (1, 8), 3, cfg.vocab_size - 2)
