@@ -92,6 +92,9 @@ class ModelRunner:
         from ct_diffusionmodelbench_tpu.models.transformer import init_params
 
         cfg = get_config(preset)
+        if jax.default_backend() != "tpu" and cfg.dtype == "bfloat16":
+            # CPU XLA lacks bf16 dot thunks for some ops (e.g. ragged_dot).
+            cfg = cfg.replace(dtype="float32")
         params = init_params(cfg, jax.random.key(seed))
         tokenizer = Tokenizer.byte_fallback(vocab_size=cfg.vocab_size,
                                             eos_token_id=cfg.eos_token_id or 2)
