@@ -41,6 +41,11 @@ def build_parser():
     p.add_argument("--dream-temperature", type=float, default=0.4)
     p.add_argument("--top-p", type=float, default=0.95)
     p.add_argument("--alg", type=str, default="entropy")
+    p.add_argument("--exact", action="store_true",
+                   help="Exact Dream parity mode: full-vocab top-p/top-k "
+                        "filtering (no approx prefilter)")
+    p.add_argument("--batch-mean-counts", action="store_true",
+                   help="Remote-code batch-averaged transfer counts")
     p.add_argument("--results-dir", type=str, default=None)
     p.add_argument("--fake-lean", action="store_true",
                    help="Use the offline fake Lean verifier")
@@ -76,6 +81,7 @@ def main(argv=None):
         cfg_scale=args.cfg_scale, remasking=args.remasking,
         max_new_tokens=args.max_new_tokens, top_p=args.top_p, alg=args.alg,
         dream_temperature=args.dream_temperature, results_dir=args.results_dir,
+        exact=args.exact, batch_mean_counts=args.batch_mean_counts,
     )
     bench = DiffusionBenchmark(runner, cfg, verifier=verifier, quiet=args.quiet)
     report = bench.run_benchmark(

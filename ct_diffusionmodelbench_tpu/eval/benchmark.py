@@ -61,6 +61,8 @@ class BenchmarkConfig:
     alg: str = "entropy"
     alg_temp: float = 0.0
     dream_temperature: float = 0.4
+    exact: bool = False               # disable the top-k prefilter (parity)
+    batch_mean_counts: bool = False   # remote-code batch-averaged counts
     results_dir: Optional[str] = None
     seed: int = 0
 
@@ -131,6 +133,7 @@ class DiffusionBenchmark:
                     gen_length=c.max_new_tokens, steps=c.steps,
                     temperature=c.dream_temperature, top_p=c.top_p,
                     alg=c.alg, alg_temp=c.alg_temp,
+                    exact=c.exact, batch_mean_counts=c.batch_mean_counts,
                     skip_special_tokens=False, seed=c.seed,
                 )
             return res.text, res.latency_sec, True

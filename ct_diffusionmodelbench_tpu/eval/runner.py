@@ -31,6 +31,11 @@ from ct_diffusionmodelbench_tpu.sampling import dream_generate, llada_generate
 
 
 def infer_family(cfg: ModelConfig) -> str:
+    """Sampler-family dispatch: the explicit ``cfg.family`` (presets and
+    config_from_hf set it from model_type) wins; the name heuristic is only
+    the last-resort fallback for configs that carry neither."""
+    if cfg.family:
+        return cfg.family
     if cfg.logit_shift:
         return "dream" if "dream" in cfg.name else "diffucoder"
     return "llada-moe" if cfg.is_moe else "llada"
@@ -116,6 +121,8 @@ class ModelRunner:
         top_p: Optional[float] = 0.95,
         alg: str = "entropy",
         alg_temp: float = 0.0,
+        exact: bool = False,
+        batch_mean_counts: bool = False,
         seed: int = 0,
         attn_mask=None,
     ) -> np.ndarray:
@@ -140,6 +147,7 @@ class ModelRunner:
                 steps=steps, max_new_tokens=gen_length,
                 temperature=temperature, top_p=top_p, alg=alg,
                 alg_temp=alg_temp, mask_id=self.mask_id,
+                exact=exact, batch_mean_counts=batch_mean_counts,
                 attn_mask=attn_mask, key=key)
         return np.asarray(out)
 
@@ -225,6 +233,8 @@ class ModelRunner:
                 temperature=kw.pop("temperature", 0.0),
                 top_p=kw.pop("top_p", 0.95), alg=kw.pop("alg", "entropy"),
                 alg_temp=kw.pop("alg_temp", 0.0), mask_id=self.mask_id,
+                exact=kw.pop("exact", False),
+                batch_mean_counts=kw.pop("batch_mean_counts", False),
                 attn_mask=jnp.asarray(mask), key=key)
         out = np.asarray(out)
         latency = round((time.time() - t0) / b, 4)  # amortized per sample

@@ -49,6 +49,11 @@ class ModelConfig:
                                       # reference's LLaDOU / chat_base_model
                                       # path uses plain HF generate; diffusion
                                       # models are always bidirectional)
+    family: str = ""                  # explicit sampler-family dispatch:
+                                      # llada | llada-moe | dream | diffucoder
+                                      # ("" = infer from is_moe/logit_shift —
+                                      # the dream-vs-diffucoder split then
+                                      # falls back to a name heuristic)
     # MoE (0 experts = dense FFN)
     num_experts: int = 0
     num_experts_per_tok: int = 0
@@ -118,7 +123,7 @@ def _register(cfg: ModelConfig) -> ModelConfig:
 # GSAI-ML/LLaDA-8B-Instruct: 32L/32H, d=4096, ffn=12288, vocab=126464,
 # mask id 126336 (Training/Training_0to1k/Llada_MoE/train_fast_save.py:75).
 _register(ModelConfig(
-    name="llada-8b",
+    name="llada-8b", family="llada",
     vocab_size=126464, hidden_size=4096, num_layers=32, num_heads=32,
     num_kv_heads=32, head_dim=128, intermediate_size=12288,
     rope_theta=500000.0, mask_token_id=126336, eos_token_id=126081,
@@ -128,7 +133,7 @@ _register(ModelConfig(
 # 64 routed experts top-8 + shared expert; mask id 156895
 # (Pre-Trained/bench_models/llada.py:45).
 _register(ModelConfig(
-    name="llada-moe-7b",
+    name="llada-moe-7b", family="llada-moe",
     vocab_size=157184, hidden_size=2048, num_layers=16, num_heads=16,
     num_kv_heads=4, head_dim=128, intermediate_size=5632,
     num_experts=64, num_experts_per_tok=8, moe_intermediate_size=1408,
@@ -140,7 +145,7 @@ _register(ModelConfig(
 # 4 kv heads, d=3584, ffn=18944, QKV bias, shifted logits
 # (sampler wrapper: Pre-Trained/bench_models/dream.py:70-110).
 _register(ModelConfig(
-    name="dream-7b",
+    name="dream-7b", family="dream",
     vocab_size=152064, hidden_size=3584, num_layers=28, num_heads=28,
     num_kv_heads=4, head_dim=128, intermediate_size=18944,
     attention_bias=True, rope_theta=1000000.0, logit_shift=True,
@@ -150,14 +155,14 @@ _register(ModelConfig(
 # apple/DiffuCoder-7B-Instruct / -cpGRPO: same Qwen2.5-7B-derived skeleton as
 # Dream (Pre-Trained/bench_models/diffucoder.py:68-102 uses the identical
 # diffusion_generate interface and `<|dlm_pad|>` padding token).
-_register(PRESETS["dream-7b"].replace(name="diffucoder-7b"))
+_register(PRESETS["dream-7b"].replace(name="diffucoder-7b", family="diffucoder"))
 
 # Reduced-size flagship for single-chip benchmarking: the 8B dense model in
 # bf16 (~16.3 GB) does not fit a single v5e chip's 16 GB HBM (SURVEY.md §7
 # hard-part 7 — TP over ≥2 chips is mandatory at full size), so bench.py uses
 # this faithful scale-down of the same architecture when only one chip is up.
 _register(ModelConfig(
-    name="llada-2b",
+    name="llada-2b", family="llada",
     vocab_size=126464, hidden_size=2048, num_layers=22, num_heads=16,
     num_kv_heads=16, head_dim=128, intermediate_size=5632,
     rope_theta=500000.0, mask_token_id=126336, eos_token_id=126081,
@@ -165,13 +170,13 @@ _register(ModelConfig(
 
 # Tiny configs for tests / CI (CPU-friendly).
 _register(ModelConfig(
-    name="llada-tiny",
+    name="llada-tiny", family="llada",
     vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
     num_kv_heads=4, head_dim=16, intermediate_size=128,
     rope_theta=10000.0, mask_token_id=500, eos_token_id=2, max_seq_len=512,
 ))
 _register(ModelConfig(
-    name="llada-moe-tiny",
+    name="llada-moe-tiny", family="llada-moe",
     vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
     num_kv_heads=2, head_dim=16, intermediate_size=128,
     num_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
@@ -179,7 +184,7 @@ _register(ModelConfig(
     rope_theta=10000.0, mask_token_id=500, eos_token_id=2, max_seq_len=512,
 ))
 _register(ModelConfig(
-    name="dream-tiny",
+    name="dream-tiny", family="dream",
     vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
     num_kv_heads=2, head_dim=16, intermediate_size=128,
     attention_bias=True, logit_shift=True,
@@ -221,6 +226,19 @@ def config_from_hf(config: dict[str, Any] | str | Path, name: str = "") -> Model
     head_dim = pick("head_dim", default=hidden // n_heads)
     model_type = str(pick("model_type", default="")).lower()
     logit_shift = model_type in ("dream", "diffucoder") or bool(pick("logit_shift", default=False))
+    n_experts = pick("num_experts", "n_routed_experts", default=0) or 0
+    # Explicit family dispatch from model_type (falls back to "" → the
+    # is_moe/logit_shift inference in eval/runner.py::infer_family).
+    if "diffucoder" in model_type:
+        family = "diffucoder"
+    elif "dream" in model_type:
+        family = "dream"
+    elif logit_shift:
+        family = ""  # shifted-logit model of unknown type: let name decide
+    elif model_type:
+        family = "llada-moe" if n_experts else "llada"
+    else:
+        family = ""
 
     return ModelConfig(
         name=name or model_type or "hf-model",
@@ -239,7 +257,8 @@ def config_from_hf(config: dict[str, Any] | str | Path, name: str = "") -> Model
         qk_norm=bool(pick("use_qk_norm", "qk_layernorm", "use_qkv_norm", default=False)),
         tie_embeddings=bool(pick("tie_word_embeddings", "weight_tying", default=False)),
         logit_shift=logit_shift,
-        num_experts=pick("num_experts", "n_routed_experts", default=0) or 0,
+        family=family,
+        num_experts=n_experts,
         num_experts_per_tok=pick("num_experts_per_tok", "num_experts_per_token", default=0) or 0,
         moe_intermediate_size=pick("moe_intermediate_size", default=0) or 0,
         num_shared_experts=pick("num_shared_experts", "n_shared_experts", default=0) or 0,

@@ -27,8 +27,17 @@ published Dream decoding algorithm from scratch as a fused jitted loop:
 Static-shape notes: the reference computes on ragged ``logits[mask_index]``
 tensors; here every op runs full-width [B, S(, V)] with -inf masking, which
 is the jit/TPU-native formulation of the identical math.  Transfer counts are
-per *row* (the remote code averages the mask count over the batch; identical
-at the reference's batch size of 1).
+per *row* by default (the remote code averages the mask count over the
+batch; identical at the reference's batch size of 1) —
+``batch_mean_counts=True`` switches to the remote code's batch-averaged
+count for exact-parity runs at batch > 1.
+
+Parity knobs (VERDICT round-1 item 5):
+- ``exact=True`` disables the ``approx_max_k`` prefilter entirely: top-p /
+  top-k filtering runs on a full-vocab exact descending sort, matching the
+  remote ``sample_tokens`` bit-for-bit (at O(V log V) per step cost).
+- greedy decodes (``temperature <= 0``) always use exact ``lax.top_k`` for
+  the prefilter, so the argmax is never approximate.
 """
 
 from __future__ import annotations
@@ -63,6 +72,9 @@ class DreamSamplerConfig:
     alg_temp: float = 0.0
     mask_id: int = 151666
     eps: float = 1e-3
+    exact: bool = False           # full-vocab exact filtering (no prefilter)
+    batch_mean_counts: bool = False  # remote-code batch-averaged transfer
+                                     # counts (identical at batch size 1)
 
     def __post_init__(self):
         if self.alg not in ("origin", "maskgit_plus", "topk_margin", "entropy"):
@@ -81,12 +93,13 @@ def _filter_and_sample(logits, sc: DreamSamplerConfig, key):
     work = logits / sc.temperature if sc.temperature > 0 else logits
 
     no_filter = (sc.top_p is None or sc.top_p >= 1.0) and sc.top_k is None
-    if sc.temperature <= 0 and (sc.alg == "entropy" or
-                                (no_filter and sc.alg in ("maskgit_plus", "origin"))):
+    if sc.temperature <= 0 and no_filter and sc.alg in (
+            "entropy", "maskgit_plus", "origin"):
         # Greedy shortcut: no prefilter needed — argmax + logsumexp only.
-        # Safe exactly when the confidence doesn't depend on top-p/top-k
-        # renormalization: entropy (computed on the full distribution either
-        # way), or probability algs with no filter configured.
+        # Safe only when no top-p/top-k filter is configured: with a filter
+        # active, the published sample_tokens computes confidences (including
+        # neg_entropy) on the *filtered renormalized* distribution, so those
+        # runs must take the filtering path below.
         x0 = jnp.argmax(work, axis=-1).astype(jnp.int32)
         lse = jax.scipy.special.logsumexp(work, axis=-1)
         chosen_p = jnp.exp(jnp.max(work, axis=-1) - lse)
@@ -97,14 +110,17 @@ def _filter_and_sample(logits, sc: DreamSamplerConfig, key):
             conf = chosen_p
         return x0, conf
 
-    K = min(TOP_P_PREFILTER, work.shape[-1])
-    if work.shape[-1] > 4 * K:
+    V = work.shape[-1]
+    K = V if sc.exact else min(TOP_P_PREFILTER, V)
+    if sc.exact or sc.temperature <= 0 or V <= 4 * K:
+        # Exact descending sort.  Greedy decodes must be deterministic-exact
+        # (index 0 is the true argmax), and exact mode sorts the full vocab.
+        top_vals, top_idx = jax.lax.top_k(work, K)
+    else:
         # TPU-native approximate top-K (recall ~0.95+): tens of times faster
         # than exact top_k at V≈152k, and sampling-exact in practice since
         # the nucleus is far smaller than K.
         top_vals, top_idx = jax.lax.approx_max_k(work, K)
-    else:
-        top_vals, top_idx = jax.lax.top_k(work, K)
     filtered = top_vals
     filtering = False
 
@@ -143,10 +159,19 @@ def _filter_and_sample(logits, sc: DreamSamplerConfig, key):
         p = jnp.exp(log_probs)
         conf = p[..., 0] - p[..., 1]
     elif sc.alg == "entropy":
-        # Negative entropy of the full distribution, matching the published
-        # sample_tokens(neg_entropy=True): sum p log p (higher = confident).
-        full_probs = jax.nn.softmax(work, axis=-1)
-        conf = jnp.sum(full_probs * jnp.log(full_probs + 1e-10), axis=-1)
+        # Negative entropy matching the published sample_tokens
+        # (neg_entropy=True): sum p log(p + 1e-10), higher = confident —
+        # computed over the distribution the filter produced.  With top-p/
+        # top-k active that is the *filtered renormalized* probs (dropped
+        # tokens have p = 0 and contribute nothing, so summing the K
+        # prefilter entries is exact whenever the nucleus fits in K); with
+        # no filter it is the full softmax.
+        if filtering:
+            p = jnp.exp(log_probs)  # zeros where dropped (-inf log-prob)
+            conf = jnp.sum(p * jnp.log(p + 1e-10), axis=-1)
+        else:
+            full_probs = jax.nn.softmax(work, axis=-1)
+            conf = jnp.sum(full_probs * jnp.log(full_probs + 1e-10), axis=-1)
     else:  # maskgit_plus / origin use chosen-token probability
         conf = chosen_p
     return x0.astype(jnp.int32), conf
@@ -172,11 +197,25 @@ def _dream_loop(forward_fn, sc: DreamSamplerConfig, x, attn_mask, key, record_hi
             u = jax.random.uniform(k_pos, x.shape)
             transfer = mask_index & (u < p_transfer)
         else:
-            mask_num = jnp.sum(mask_index, axis=1)  # [B]
-            k_count = jnp.where(
-                is_last, mask_num,
-                (mask_num.astype(jnp.float32) * (1.0 - s / t)).astype(jnp.int32),
-            )
+            if sc.batch_mean_counts:
+                # Remote-code semantics: one count for the whole batch,
+                # floor(mean masks per row * fraction) — int() truncation in
+                # the reference (num_mask_token = mask_index.sum() / B).  At
+                # uneven batches the final step may leave masks in longer
+                # rows, exactly as the remote code does.  (One deliberate
+                # deviation: transfers stay clamped to masked positions —
+                # when k exceeds a short row's mask count the remote code's
+                # scatter re-masks already-decoded tokens, which we treat as
+                # a bug and do not reproduce.)
+                mean = jnp.sum(mask_index).astype(jnp.float32) / mask_index.shape[0]
+                kc = jnp.where(is_last, mean, mean * (1.0 - s / t)).astype(jnp.int32)
+                k_count = jnp.full((mask_index.shape[0],), kc)
+            else:
+                mask_num = jnp.sum(mask_index, axis=1)  # [B]
+                k_count = jnp.where(
+                    is_last, mask_num,
+                    (mask_num.astype(jnp.float32) * (1.0 - s / t)).astype(jnp.int32),
+                )
             full_conf = jnp.where(mask_index, conf, NEG_INF)
             if sc.alg_temp and sc.alg_temp > 0:
                 # Gumbel-top-k == sampling k positions without replacement
@@ -242,11 +281,14 @@ def dream_generate(
     attn_mask: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
     output_history: bool = False,
+    exact: bool = False,
+    batch_mean_counts: bool = False,
 ):
     """Native equivalent of the remote-code ``model.diffusion_generate``."""
     sc = DreamSamplerConfig(
         steps=steps, max_new_tokens=max_new_tokens, temperature=temperature,
         top_p=top_p, top_k=top_k, alg=alg, alg_temp=alg_temp, mask_id=mask_id,
+        exact=exact, batch_mean_counts=batch_mean_counts,
     )
     prompt_len = int(prompt_ids.shape[1])
     cache_key = (id(forward_fn), dataclasses.astuple(sc), prompt_len,

@@ -14,6 +14,18 @@ Reference semantics, reproduced exactly (SURVEY.md §2.1 C10/C11):
 TPU-native formulation: no boolean fancy indexing — everything is computed
 full-width [B, L] under a weight mask, so the step stays a single static
 jitted graph.
+
+Mask-variant note: the two reference training scripts disagree on which mask
+feeds the CE.  Training_0to1k/train.py:294-295 *recomputes* the mask from the
+noised batch after the prompt restore (so prompt positions never contribute),
+while Training_1kto21k/train.py:331-339 reuses the pre-restore
+``masked_indices`` — which silently includes prompt positions that were noised
+and then restored, i.e. it trains on un-noised prompt tokens with a 1/p_mask
+weight.  This module deliberately implements the recomputed-mask (0to1k)
+variant: it is the self-consistent masked-diffusion objective (CE only where
+the model actually sees ``mask_id``), and the 1kto21k behavior is best read as
+a reference bug.  Consequence: loss curves from checkpoints trained by the
+1kto21k script will not reproduce exactly (ADVICE round-1 #4).
 """
 
 from __future__ import annotations

@@ -314,8 +314,11 @@ class Trainer:
             "train_samples_per_second": round(samples_seen / max(elapsed, 1e-9), 3),
             "train_steps_per_second": round(self.global_step / max(elapsed, 1e-9), 3),
             "total_flos": total_flos,
-            "train_loss": (self.training_logs[-1].get("loss")
-                           if self.training_logs else None),
+            # Most recent *train*-step loss: the tail of training_logs is
+            # often an eval_loss or save record, so search backwards for the
+            # last entry that carries a 'loss' key.
+            "train_loss": next((e["loss"] for e in reversed(self.training_logs)
+                                if "loss" in e), None),
             "status": status,
         }
         self._log(final)

@@ -30,6 +30,80 @@ def np_softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     return e / e.sum(axis=axis, keepdims=True)
 
 
+def np_dream_filter_stats(logits, top_p=None, top_k=None, alg="entropy"):
+    """Greedy (temperature 0) ``sample_tokens`` semantics of the published
+    Dream remote code: top-p/top-k filter the logits, softmax the *filtered*
+    distribution, then score per position — max prob (maskgit_plus),
+    top1-top2 margin (topk_margin), or sum p·log(p+1e-10) (entropy).
+    Written from the algorithm description; independent of the jax path."""
+    work = logits.astype(np.float64)
+    filt = work.copy()
+    if top_p is not None and top_p < 1.0:
+        order = np.argsort(-work, axis=-1, kind="stable")
+        swork = np.take_along_axis(work, order, axis=-1)
+        p = np_softmax(swork)
+        cum = np.cumsum(p, axis=-1)
+        remove_sorted = (cum - p) > top_p  # keep-first shift of cum > top_p
+        remove = np.zeros_like(remove_sorted)
+        np.put_along_axis(remove, order, remove_sorted, axis=-1)
+        filt = np.where(remove, -np.inf, filt)
+    if top_k is not None and top_k < work.shape[-1]:
+        kth = np.sort(work, axis=-1)[..., -top_k][..., None]
+        filt = np.where(work < kth, -np.inf, filt)
+    probs = np_softmax(filt)
+    x0 = np.argmax(probs, axis=-1)
+    if alg == "topk_margin":
+        sp = np.sort(probs, axis=-1)
+        conf = sp[..., -1] - sp[..., -2]
+    elif alg == "entropy":
+        conf = np.sum(probs * np.log(probs + 1e-10), axis=-1)
+    else:  # maskgit_plus / origin
+        conf = np.max(probs, axis=-1)
+    return x0, conf
+
+
+def np_dream_generate(
+    logits_fn: Callable[[np.ndarray], np.ndarray],
+    prompt_ids: np.ndarray,
+    *,
+    steps: int,
+    max_new_tokens: int,
+    mask_id: int,
+    top_p: Optional[float] = None,
+    alg: str = "entropy",
+    eps: float = 1e-3,
+    batch_mean: bool = False,
+) -> np.ndarray:
+    """Greedy Dream decoding loop (linspace timesteps, score-ordered
+    transfers).  ``batch_mean=True`` reproduces the remote code's
+    batch-averaged transfer count (one k for all rows); transfers are always
+    restricted to masked positions (see sampling/dream.py docstring)."""
+    B, P = prompt_ids.shape
+    x = np.concatenate(
+        [prompt_ids.astype(np.int64),
+         np.full((B, max_new_tokens), mask_id, np.int64)], axis=1)
+    timesteps = np.linspace(1.0, eps, steps + 1)
+    for i in range(steps):
+        mask_index = x == mask_id
+        x0, conf = np_dream_filter_stats(logits_fn(x), top_p=top_p, alg=alg)
+        t, s = timesteps[i], timesteps[i + 1]
+        last = i == steps - 1
+        if batch_mean:
+            num = mask_index.sum() / B
+            k = int(num) if last else int(num * (1.0 - s / t))
+            counts = [k] * B
+        else:
+            counts = [int(n) if last else int(n * (1.0 - s / t))
+                      for n in mask_index.sum(axis=1)]
+        full_conf = np.where(mask_index, conf, -np.inf)
+        for j in range(B):
+            if counts[j] > 0:
+                sel = np.argsort(-full_conf[j], kind="stable")[: counts[j]]
+                sel = sel[mask_index[j, sel]]
+                x[j, sel] = x0[j, sel]
+    return x
+
+
 def np_llada_generate(
     logits_fn: Callable[[np.ndarray], np.ndarray],
     prompt_ids: np.ndarray,

@@ -95,6 +95,142 @@ def test_top_k_restricts_support():
     assert picks <= {0, 1} and len(picks) == 2
 
 
+def test_entropy_conf_uses_filtered_distribution():
+    """With top-p active, entropy confidence must be computed on the
+    *filtered renormalized* distribution (published sample_tokens semantics),
+    not the full softmax (ADVICE round-1, medium)."""
+    from tests.reference_impl import np_dream_filter_stats
+
+    sc = DreamSamplerConfig(temperature=0.0, top_p=0.9, alg="entropy", steps=4)
+    logits = jax.random.normal(jax.random.key(40), (2, 5, 40)) * 3
+    x0, conf = _filter_and_sample(logits, sc, jax.random.key(0))
+    ref_x0, ref_conf = np_dream_filter_stats(np.asarray(logits), top_p=0.9,
+                                             alg="entropy")
+    np.testing.assert_array_equal(np.asarray(x0), ref_x0)
+    np.testing.assert_allclose(np.asarray(conf), ref_conf, rtol=1e-4)
+    # and it genuinely differs from the full-distribution entropy
+    p_full = np.asarray(jax.nn.softmax(logits, -1), np.float64)
+    full_entropy = np.sum(p_full * np.log(p_full + 1e-10), axis=-1)
+    assert not np.allclose(np.asarray(conf), full_entropy, rtol=1e-3)
+
+
+def test_topk_margin_conf_matches_oracle():
+    from tests.reference_impl import np_dream_filter_stats
+
+    sc = DreamSamplerConfig(temperature=0.0, top_p=0.8, alg="topk_margin", steps=4)
+    logits = jax.random.normal(jax.random.key(41), (1, 7, 30)) * 2
+    x0, conf = _filter_and_sample(logits, sc, jax.random.key(0))
+    ref_x0, ref_conf = np_dream_filter_stats(np.asarray(logits), top_p=0.8,
+                                             alg="topk_margin")
+    np.testing.assert_array_equal(np.asarray(x0), ref_x0)
+    np.testing.assert_allclose(np.asarray(conf), ref_conf, rtol=1e-4, atol=1e-6)
+
+
+def test_greedy_with_filter_is_exact_argmax():
+    """temperature<=0 must use exact top_k even when a filter forces the
+    prefilter path (ADVICE round-1, low): V > 4*K would otherwise take
+    approx_max_k whose slot 0 can miss the true argmax."""
+    sc = DreamSamplerConfig(temperature=0.0, top_p=0.95, alg="maskgit_plus", steps=4)
+    logits = jax.random.normal(jax.random.key(42), (1, 8, 512)) * 4
+    x0, _ = _filter_and_sample(logits, sc, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(x0),
+                                  np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_exact_mode_matches_prefilter_on_peaked_logits():
+    """exact=True (full-vocab sort) and the K=64 prefilter agree whenever the
+    nucleus fits the prefilter — peaked, trained-LM-shaped logits."""
+    V = 512
+    key = jax.random.key(43)
+    base = jax.random.normal(key, (2, 6, V))
+    # peak ~13 nats above the noise floor → top-1 prob ≈ 0.999, so the 0.95
+    # nucleus is a handful of tokens and comfortably fits the K=64 prefilter
+    # (the trained-LM regime the prefilter is designed for).
+    peaked = base * 1.0 + 13.0 * jax.nn.one_hot(
+        jax.random.randint(jax.random.key(44), (2, 6), 0, V), V)
+    for alg in ("maskgit_plus", "entropy", "topk_margin"):
+        sc_a = DreamSamplerConfig(temperature=0.0, top_p=0.95, alg=alg, steps=4)
+        sc_e = DreamSamplerConfig(temperature=0.0, top_p=0.95, alg=alg, steps=4,
+                                  exact=True)
+        x0_a, conf_a = _filter_and_sample(peaked, sc_a, jax.random.key(0))
+        x0_e, conf_e = _filter_and_sample(peaked, sc_e, jax.random.key(0))
+        np.testing.assert_array_equal(np.asarray(x0_a), np.asarray(x0_e), alg)
+        np.testing.assert_allclose(np.asarray(conf_a), np.asarray(conf_e),
+                                   rtol=1e-4, atol=1e-6, err_msg=alg)
+
+
+def test_exact_mode_entropy_conf_independent_of_sampling_noise():
+    """At temperature>0 the entropy score depends only on the filtered
+    distribution, so exact and approx paths must agree on conf even though
+    their Gumbel draws differ."""
+    V = 512
+    peaked = jax.random.normal(jax.random.key(45), (1, 5, V)) + \
+        9.0 * jax.nn.one_hot(jax.random.randint(jax.random.key(46), (1, 5), 0, V), V)
+    sc_a = DreamSamplerConfig(temperature=0.4, top_p=0.95, alg="entropy", steps=4)
+    sc_e = DreamSamplerConfig(temperature=0.4, top_p=0.95, alg="entropy", steps=4,
+                              exact=True)
+    _, conf_a = _filter_and_sample(peaked, sc_a, jax.random.key(7))
+    _, conf_e = _filter_and_sample(peaked, sc_e, jax.random.key(7))
+    np.testing.assert_allclose(np.asarray(conf_a), np.asarray(conf_e),
+                               rtol=1e-4, atol=1e-6)
+
+
+def _tabular_forward(V, S_max, seed=0):
+    """Deterministic black-box forward: logits[b,s] = W[x[b,s]] + Pos[s]."""
+    rng = np.random.default_rng(seed)
+    W = rng.normal(size=(V, V)).astype(np.float32) * 2
+    Pos = rng.normal(size=(S_max, V)).astype(np.float32)
+
+    def np_fn(x):
+        return W[x] + Pos[: x.shape[1]]
+
+    def jx_fn(params, ids, attn_mask=None):
+        return jnp.asarray(W)[ids] + jnp.asarray(Pos)[: ids.shape[1]], jnp.float32(0)
+
+    return np_fn, jx_fn
+
+
+def test_generate_matches_numpy_oracle_per_row_counts():
+    from tests.reference_impl import np_dream_generate
+
+    V, MASKV = 40, 39
+    np_fn, jx_fn = _tabular_forward(V, 24, seed=3)
+    prompt = np.array([[3, 7, MASKV, 11, 5, MASKV],
+                       [9, 2, 4, 6, 8, 10]], np.int32)
+    seq, _ = dream_generate(jx_fn, None, jnp.asarray(prompt), steps=5,
+                            max_new_tokens=10, temperature=0.0, top_p=0.9,
+                            alg="entropy", mask_id=MASKV, exact=True)
+    ref = np_dream_generate(np_fn, prompt, steps=5, max_new_tokens=10,
+                            mask_id=MASKV, top_p=0.9, alg="entropy",
+                            batch_mean=False)
+    np.testing.assert_array_equal(np.asarray(seq), ref)
+
+
+def test_generate_matches_numpy_oracle_batch_mean_counts():
+    """batch_mean_counts=True reproduces the remote code's batch-averaged
+    transfer count at batch>1 with uneven per-row mask counts (prompt masks
+    make row 0 carry 2 extra masks)."""
+    from tests.reference_impl import np_dream_generate
+
+    V, MASKV = 40, 39
+    np_fn, jx_fn = _tabular_forward(V, 24, seed=4)
+    prompt = np.array([[3, 7, MASKV, 11, 5, MASKV],
+                       [9, 2, 4, 6, 8, 10]], np.int32)
+    seq, _ = dream_generate(jx_fn, None, jnp.asarray(prompt), steps=5,
+                            max_new_tokens=10, temperature=0.0, top_p=0.9,
+                            alg="entropy", mask_id=MASKV, exact=True,
+                            batch_mean_counts=True)
+    ref = np_dream_generate(np_fn, prompt, steps=5, max_new_tokens=10,
+                            mask_id=MASKV, top_p=0.9, alg="entropy",
+                            batch_mean=True)
+    np.testing.assert_array_equal(np.asarray(seq), ref)
+    # the two count modes genuinely diverge on this input
+    ref_per_row = np_dream_generate(np_fn, prompt, steps=5, max_new_tokens=10,
+                                    mask_id=MASKV, top_p=0.9, alg="entropy",
+                                    batch_mean=False)
+    assert (ref != ref_per_row).any()
+
+
 def test_invalid_alg_raises():
     with pytest.raises(NotImplementedError):
         DreamSamplerConfig(alg="not-an-alg")
