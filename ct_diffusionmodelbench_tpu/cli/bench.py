@@ -11,7 +11,7 @@ import json
 
 from ct_diffusionmodelbench_tpu.eval.benchmark import BenchmarkConfig, DiffusionBenchmark
 from ct_diffusionmodelbench_tpu.eval.lean import FakeLeanVerifier, LeanVerifier, lean_available
-from ct_diffusionmodelbench_tpu.eval.runner import ModelRunner
+from ct_diffusionmodelbench_tpu.cli.common import add_parallel_flags, runner_from_args
 from ct_diffusionmodelbench_tpu.io.datasets_io import (
     MATH_OLYMPIAD_DATASET,
     load_hub_or_local,
@@ -51,20 +51,14 @@ def build_parser():
                    help="Use the offline fake Lean verifier")
     p.add_argument("--no-verify", action="store_true")
     p.add_argument("--quiet", action="store_true")
+    add_parallel_flags(p)
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    if args.preset:
-        runner = ModelRunner.random_init(args.preset)
-    elif args.model_dir:
-        runner = ModelRunner.from_dir(args.model_dir, mask_id_override=args.mask_id)
-    else:
-        raise SystemExit("need --model-dir or --preset")
-    if args.mask_id is not None:
-        runner.mask_id = args.mask_id
+    runner = runner_from_args(args)
 
     ds = load_hub_or_local(args.dataset_path)
     data_split, split_name = pick_bench_split(ds)

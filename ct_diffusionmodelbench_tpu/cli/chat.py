@@ -12,6 +12,7 @@ import os
 import time
 from typing import Dict, List, Optional
 
+from ct_diffusionmodelbench_tpu.cli.common import add_parallel_flags, runner_from_args
 from ct_diffusionmodelbench_tpu.eval.runner import ModelRunner
 from ct_diffusionmodelbench_tpu.utils.logging import log
 
@@ -28,13 +29,9 @@ def build_system(lean_only: bool, system_message: Optional[str] = None) -> str:
 
 
 def _load_runner(args) -> ModelRunner:
-    if args.preset:
-        runner = ModelRunner.random_init(args.preset)
-        if args.mask_id is not None:
-            runner.mask_id = args.mask_id
-        return runner
-    log(f"Loading tokenizer/model from: {args.model_dir}")
-    return ModelRunner.from_dir(args.model_dir, mask_id_override=args.mask_id)
+    if not args.preset:
+        log(f"Loading tokenizer/model from: {args.model_dir}")
+    return runner_from_args(args)
 
 
 def run_chat(runner: ModelRunner, prompt_text: str, args) -> Dict:
@@ -128,6 +125,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Start an interactive terminal chat session")
     parser.add_argument("--system-message", type=str, default=None,
                         help="Custom system instruction for the assistant")
+    add_parallel_flags(parser)
     return parser
 
 

@@ -13,7 +13,7 @@ import json
 from datetime import datetime
 from pathlib import Path
 
-from ct_diffusionmodelbench_tpu.eval.runner import ModelRunner
+from ct_diffusionmodelbench_tpu.cli.common import add_parallel_flags, runner_from_args
 from ct_diffusionmodelbench_tpu.io.datasets_io import (
     NUMINA_DATASET,
     format_instruction_problem,
@@ -48,19 +48,13 @@ def build_parser():
     p.add_argument("--no-truncate-at-eos", action="store_true")
     p.add_argument("--no-lean-only", action="store_true")
     p.add_argument("--mask-id", type=int, default=None)
+    add_parallel_flags(p)
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.preset:
-        runner = ModelRunner.random_init(args.preset)
-        if args.mask_id is not None:
-            runner.mask_id = args.mask_id
-    elif args.model_dir:
-        runner = ModelRunner.from_dir(args.model_dir, mask_id_override=args.mask_id)
-    else:
-        raise SystemExit("need --model-dir or --preset")
+    runner = runner_from_args(args)
 
     extra = "" if args.no_lean_only else LEAN_EXTRA_SYSTEM
     raw = load_hub_or_local(args.dataset, split="train")

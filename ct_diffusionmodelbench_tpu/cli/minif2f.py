@@ -8,7 +8,7 @@ import argparse
 
 from ct_diffusionmodelbench_tpu.eval.lean import FakeLeanVerifier
 from ct_diffusionmodelbench_tpu.eval.minif2f import run_minif2f_evaluation
-from ct_diffusionmodelbench_tpu.eval.runner import ModelRunner
+from ct_diffusionmodelbench_tpu.cli.common import add_parallel_flags, runner_from_args
 
 
 def build_parser():
@@ -41,19 +41,13 @@ def build_parser():
     p.add_argument("--prompt-bucket", type=int, default=64,
                    help="Left-pad prompts to multiples of this to bound jit "
                         "recompiles (1 = exact shapes)")
+    add_parallel_flags(p)
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.preset:
-        runner = ModelRunner.random_init(args.preset)
-        if args.mask_id is not None:
-            runner.mask_id = args.mask_id
-    elif args.model_dir:
-        runner = ModelRunner.from_dir(args.model_dir, mask_id_override=args.mask_id)
-    else:
-        raise SystemExit("need --model-dir or --preset")
+    runner = runner_from_args(args)
     runner.prompt_bucket = max(args.prompt_bucket, 1)
 
     run_minif2f_evaluation(

@@ -41,6 +41,14 @@ def infer_family(cfg: ModelConfig) -> str:
     return "llada-moe" if cfg.is_moe else "llada"
 
 
+def _maybe_mesh(dp: int, tp: int):
+    """(data=dp, model=tp) mesh, or None for the plain single-device path."""
+    if dp * tp <= 1:
+        return None
+    from ct_diffusionmodelbench_tpu.parallel import make_mesh
+    return make_mesh(data=dp, model=tp)
+
+
 @dataclass
 class GenResult:
     token_ids: np.ndarray       # [P+G] full sequence
@@ -53,12 +61,28 @@ class ModelRunner:
     def __init__(self, cfg: ModelConfig, params, tokenizer: Tokenizer,
                  family: Optional[str] = None,
                  mask_id_override: Optional[int] = None,
-                 prompt_bucket: int = 64):
+                 prompt_bucket: int = 64,
+                 mesh=None):
+        """``mesh``: a (data, model) jax.sharding.Mesh — parameters are
+        placed per the megatron-style TP rules (parallel/sharding.py) and
+        the forward becomes the jitted TP/DP-sharded graph.  This is the
+        serving path for checkpoints that exceed one chip's HBM (LLaDA-8B
+        bf16 ≈ 16.3 GB vs 16 GB/chip on v5e — SURVEY.md §7 hard-part 7);
+        replaces the reference's ``device_map="auto"`` sequential layer
+        placement (Inference/chat_finetuned.py:138-144).  Batch sizes must
+        be divisible by the mesh's ``data`` axis."""
         self.cfg = cfg
-        self.params = params
         self.tokenizer = tokenizer
         self.family = family or infer_family(cfg)
-        self.forward_fn = make_forward_fn(cfg)
+        self.mesh = mesh
+        if mesh is not None:
+            from ct_diffusionmodelbench_tpu.parallel import (
+                make_sharded_forward, shard_params)
+            self.params = shard_params(cfg, params, mesh)
+            self.forward_fn = make_sharded_forward(cfg, mesh)
+        else:
+            self.params = params
+            self.forward_fn = make_forward_fn(cfg)
         # Left-pad prompts to a multiple of this so a 244-problem sweep
         # compiles the fused denoise loop for a handful of shape classes
         # instead of one per distinct prompt length (padding is numerically
@@ -80,7 +104,8 @@ class ModelRunner:
     @classmethod
     def from_dir(cls, model_dir: str | Path, family: Optional[str] = None,
                  mask_id_override: Optional[int] = None,
-                 dtype: Optional[str] = None) -> "ModelRunner":
+                 dtype: Optional[str] = None,
+                 dp: int = 1, tp: int = 1) -> "ModelRunner":
         cfg, params = load_checkpoint(model_dir, dtype=dtype)
         try:
             tokenizer = Tokenizer.from_pretrained(model_dir)
@@ -89,11 +114,13 @@ class ModelRunner:
                 vocab_size=cfg.vocab_size,
                 eos_token_id=cfg.eos_token_id or 2)
         return cls(cfg, params, tokenizer, family=family,
-                   mask_id_override=mask_id_override)
+                   mask_id_override=mask_id_override,
+                   mesh=_maybe_mesh(dp, tp))
 
     @classmethod
     def random_init(cls, preset: str, seed: int = 0,
-                    family: Optional[str] = None) -> "ModelRunner":
+                    family: Optional[str] = None,
+                    dp: int = 1, tp: int = 1) -> "ModelRunner":
         from ct_diffusionmodelbench_tpu.models.transformer import init_params
 
         cfg = get_config(preset)
@@ -103,7 +130,8 @@ class ModelRunner:
         params = init_params(cfg, jax.random.key(seed))
         tokenizer = Tokenizer.byte_fallback(vocab_size=cfg.vocab_size,
                                             eos_token_id=cfg.eos_token_id or 2)
-        return cls(cfg, params, tokenizer, family=family)
+        return cls(cfg, params, tokenizer, family=family,
+                   mesh=_maybe_mesh(dp, tp))
 
     # -- generation ----------------------------------------------------
 

