@@ -1,0 +1,162 @@
+"""Perf ledger: the sub-benchmark numbers behind docs/STATUS.md's claims,
+measured and committed as one JSON artifact (VERDICT round-1 item 7).
+
+Covers:
+- **dream-7b full size** at the reference's exact Dream/DiffuCoder benchmark
+  config (256 steps, temp 0.4, top_p 0.95, alg=entropy —
+  Pre-Trained/bench_models/dream.py:80-91) vs the 49.61 s/sample (Dream) and
+  8.02 s/sample (DiffuCoder, same interface) GH200 baselines.
+- **Pallas flash attention vs XLA reference** forward wall-clock across
+  sequence lengths bracketing the MiniF2F shape (prompt ≤2048 + gen 512),
+  8B head geometry — the measured crossover table behind the length-based
+  auto-dispatch in ops/attention.py.
+- **Pallas grouped GEMM vs lax.ragged_dot** at the llada-moe-7b routing
+  shape.
+
+Timing methodology: each op runs inside a jitted fori_loop with a data
+dependency between iterations (the axon backend's ~0.1-0.3 s per-dispatch
+RPC makes single-op timings meaningless — CLAUDE.md), and every measurement
+forces a device→host copy.
+
+Writes PERF.json and prints it.
+"""
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DREAM_BASELINE_SEC = 49.61       # model_performance.md:4 (256 steps, GH200)
+DIFFUCODER_BASELINE_SEC = 8.02   # model_performance.md:3 (same interface)
+
+
+def _t(call, reps=3):
+    """Median wall-clock of call() with forced D2H materialization."""
+    np.asarray(call())  # warmup/compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        np.asarray(call())
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def time_loop(fn, args, iters=16, reps=3):
+    """Seconds per op: fn(*args) chained ``iters`` times inside one jit
+    (output 0 feeds argument 0 so XLA cannot elide iterations)."""
+
+    @jax.jit
+    def run(args):
+        def body(_, c):
+            out = fn(*c)
+            return (out.astype(c[0].dtype),) + c[1:]
+        return jax.lax.fori_loop(0, iters, body, args)[0]
+
+    return _t(lambda: run(args), reps) / iters
+
+
+def bench_dream():
+    from ct_diffusionmodelbench_tpu.models import get_config, init_params, make_forward_fn
+    from ct_diffusionmodelbench_tpu.sampling import dream_generate
+
+    cfg = get_config("dream-7b")
+    params = init_params(cfg, jax.random.key(0))
+    jax.block_until_ready(params)
+    fwd = make_forward_fn(cfg)
+
+    kw = dict(steps=256, max_new_tokens=256, temperature=0.4, top_p=0.95,
+              alg="entropy", mask_id=cfg.mask_token_id,
+              key=jax.random.key(2))
+
+    def run(batch):
+        prompt = jax.random.randint(jax.random.key(1), (batch, 64), 10, 100_000)
+        return _t(lambda: dream_generate(fwd, params, prompt, **kw)[0], reps=2)
+
+    dt1 = run(1)
+    batch = 4
+    dtb = run(batch)
+    del params
+    return {
+        "model": "dream-7b (full size, 7.62B)",
+        "config": "256 steps, temp 0.4, top_p 0.95, alg=entropy, gen 256",
+        "single_sample_sec": round(dt1, 3),
+        "batched_sec_per_sample": round(dtb / batch, 3),
+        "batch": batch,
+        "vs_dream_baseline_49.61s": round(DREAM_BASELINE_SEC / (dtb / batch), 1),
+        "vs_diffucoder_baseline_8.02s": round(
+            DIFFUCODER_BASELINE_SEC / (dtb / batch), 1),
+    }
+
+
+def bench_attention_crossover():
+    """Pallas flash vs XLA reference at the 8B head geometry (32 heads,
+    d_head 128), batch 1, bf16 — the serving shape."""
+    from ct_diffusionmodelbench_tpu.ops.attention import attention
+
+    rows = []
+    for S in (512, 1024, 2048, 4096):
+        q, k, v = (jax.random.normal(jax.random.key(i), (1, S, 32, 128),
+                                     jnp.bfloat16) for i in range(3))
+        iters = max(4, 2048 // (S // 512))
+        t_ref = time_loop(partial(attention, impl="reference"), (q, k, v),
+                          iters=iters)
+        t_pal = time_loop(partial(attention, impl="pallas"), (q, k, v),
+                          iters=iters)
+        rows.append({
+            "seq_len": S,
+            "xla_reference_ms": round(t_ref * 1e3, 3),
+            "pallas_flash_ms": round(t_pal * 1e3, 3),
+            "pallas_speedup": round(t_ref / t_pal, 2),
+        })
+    return rows
+
+
+def bench_grouped_gemm():
+    """Pallas grouped GEMM vs lax.ragged_dot at the llada-moe-7b routing
+    shape (N=2048 tokens, top-8 of 64 experts, D=2048, Fm=1024, bf16)."""
+    import os
+
+    from ct_diffusionmodelbench_tpu.ops import grouped_gemm as gg
+
+    N, K, E, D, Fm = 2048, 8, 64, 2048, 1024
+    x = jax.random.normal(jax.random.key(0), (N, D), jnp.bfloat16)
+    probs = jax.nn.softmax(jax.random.normal(jax.random.key(1), (N, K)), -1)
+    idx = jax.random.randint(jax.random.key(2), (N, K), 0, E)
+    wg, wu = (jax.random.normal(jax.random.key(i), (E, D, Fm), jnp.bfloat16) * 0.02
+              for i in (3, 4))
+    wd = jax.random.normal(jax.random.key(5), (E, Fm, D), jnp.bfloat16) * 0.02
+
+    out = {}
+    for backend in ("ragged", "pallas"):
+        os.environ["CTDB_GROUPED_GEMM"] = backend
+        try:
+            t = time_loop(
+                lambda xx, p, i, a, b, c: gg.grouped_expert_ffn(xx, p, i, a, b, c),
+                (x, probs, idx, wg, wu, wd), iters=8)
+            out[f"{backend}_ms"] = round(t * 1e3, 3)
+        finally:
+            os.environ.pop("CTDB_GROUPED_GEMM", None)
+    out["pallas_speedup"] = round(out["ragged_ms"] / out["pallas_ms"], 2)
+    out["shape"] = f"N={N} K={K} E={E} D={D} Fm={Fm} bf16"
+    return out
+
+
+def main():
+    assert jax.default_backend() == "tpu", "perf ledger is a TPU artifact"
+    chip = jax.devices()[0].device_kind
+    ledger = {
+        "chip_kind": chip,
+        "attention_crossover": bench_attention_crossover(),
+        "grouped_gemm": bench_grouped_gemm(),
+        "dream_reference_config": bench_dream(),
+    }
+    with open("PERF.json", "w") as f:
+        json.dump(ledger, f, indent=2)
+    print(json.dumps(ledger))
+
+
+if __name__ == "__main__":
+    main()

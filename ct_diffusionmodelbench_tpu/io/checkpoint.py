@@ -79,7 +79,8 @@ def _layer_specs(cfg: ModelConfig):
         ]
     if cfg.is_moe:
         specs += [
-            ("router", [m + "gate.weight", m + "router.weight"], True),
+            ("router", [m + "gate.weight", m + "router.weight",
+                        "model.layers.{i}.block_sparse_moe.gate.weight"], True),
         ]
         if cfg.num_shared_experts:
             specs += [
@@ -99,13 +100,46 @@ def _layer_specs(cfg: ModelConfig):
     return specs
 
 
+# (our key, [per-expert HF templates], [stacked HF templates], transpose)
+# Per-expert: one [out, in] matrix per expert (Bailing/Qwen-MoE layout;
+# Mixtral's block_sparse_moe.{e}.w1/w3/w2 aliases included).  Stacked: one
+# 3-D [E, out, in] tensor per layer (or 2-D fused [E*out, in]) — some MoE
+# exports fuse the per-expert tensors this way; normalized by
+# ``_normalize_stacked_experts``.
 def _expert_specs():
     m = "model.layers.{i}.mlp.experts.{e}."
+    bs = "model.layers.{i}.block_sparse_moe.experts.{e}."
+    st = "model.layers.{i}.mlp.experts."
     return [
-        ("we_gate", [m + "gate_proj.weight"], True),
-        ("we_up", [m + "up_proj.weight"], True),
-        ("we_down", [m + "down_proj.weight"], True),
+        ("we_gate", [m + "gate_proj.weight", bs + "w1.weight"],
+         [st + "gate_proj.weight", st + "gate_proj"], True),
+        ("we_up", [m + "up_proj.weight", bs + "w3.weight"],
+         [st + "up_proj.weight", st + "up_proj"], True),
+        ("we_down", [m + "down_proj.weight", bs + "w2.weight"],
+         [st + "down_proj.weight", st + "down_proj"], True),
     ]
+
+
+def _normalize_stacked_experts(key: str, arr: np.ndarray, cfg: ModelConfig) -> np.ndarray:
+    """Stacked expert tensor → our [E, in, out] kernel layout.
+
+    Convention: stacked checkpoints stack HF ``[out, in]`` matrices along a
+    leading expert axis → stored [E, out, in]; fused 2-D variants are
+    [E*out, in].  gate/up: out=Fm, in=D → target [E, D, Fm]; down: out=D,
+    in=Fm → target [E, Fm, D]."""
+    E, D, Fm = cfg.num_experts, cfg.hidden_size, cfg.moe_intermediate_size
+    out_dim, in_dim = (Fm, D) if key in ("we_gate", "we_up") else (D, Fm)
+    if arr.ndim == 2:
+        if arr.shape != (E * out_dim, in_dim):
+            raise ValueError(
+                f"fused expert tensor {key}: got {arr.shape}, "
+                f"expected ({E * out_dim}, {in_dim})")
+        arr = arr.reshape(E, out_dim, in_dim)
+    if arr.shape != (E, out_dim, in_dim):
+        raise ValueError(
+            f"stacked expert tensor {key}: got {arr.shape}, "
+            f"expected ({E}, {out_dim}, {in_dim})")
+    return arr.transpose(0, 2, 1)  # [E, out, in] → [E, in, out]
 
 
 def _read_all_tensors(model_dir: Path) -> Dict[str, np.ndarray]:
@@ -177,14 +211,31 @@ def load_checkpoint(
     for key, templates, tp in _layer_specs(cfg):
         layer_futs[key] = [pool.submit(fetch, key, templates, tp, i=i)
                            for i in range(cfg.num_layers)]
+    def fetch_stacked(key, stacked_templates, dense_templates, **fmt):
+        arr = _find(tensors, stacked_templates, **fmt)
+        if arr is None:
+            raise KeyError(
+                f"checkpoint missing {key} {fmt or ''} in any layout "
+                f"(per-expert {dense_templates}, stacked {stacked_templates})")
+        arr = _normalize_stacked_experts(key, np.asarray(arr), cfg)
+        return np.ascontiguousarray(arr).astype(dt, copy=False)
+
     expert_futs = {}
+    expert_stacked_futs = {}
     if cfg.is_moe:
-        for key, templates, tp in _expert_specs():
-            expert_futs[key] = [
-                [pool.submit(fetch, key, templates, tp, i=i, e=e)
-                 for e in range(cfg.num_experts)]
-                for i in range(cfg.num_layers)
-            ]
+        for key, templates, stacked_templates, tp in _expert_specs():
+            if _find(tensors, templates, i=0, e=0) is not None:
+                expert_futs[key] = [
+                    [pool.submit(fetch, key, templates, tp, i=i, e=e)
+                     for e in range(cfg.num_experts)]
+                    for i in range(cfg.num_layers)
+                ]
+            else:  # stacked / fused expert tensors (one per layer)
+                expert_stacked_futs[key] = [
+                    pool.submit(fetch_stacked, key, stacked_templates,
+                                templates, i=i)
+                    for i in range(cfg.num_layers)
+                ]
 
     try:
         for key, fut in global_futs.items():
@@ -195,6 +246,9 @@ def load_checkpoint(
         for key, grid in expert_futs.items():
             params["blocks"][key] = jnp.asarray(np.stack(
                 [np.stack([f.result() for f in row]) for row in grid]))
+        for key, futs in expert_stacked_futs.items():
+            params["blocks"][key] = jnp.asarray(
+                np.stack([f.result() for f in futs]))
     finally:
         pool.shutdown(wait=False)
 
@@ -218,7 +272,7 @@ def flatten_to_hf(cfg: ModelConfig, params: dict) -> Dict[str, np.ndarray]:
         for i in range(cfg.num_layers):
             out[templates[0].format(i=i)] = conv(stacked[i], tp)
     if cfg.is_moe:
-        for key, templates, tp in _expert_specs():
+        for key, templates, _stacked, tp in _expert_specs():
             stacked = np.asarray(params["blocks"][key])
             for i in range(cfg.num_layers):
                 for e in range(cfg.num_experts):

@@ -104,6 +104,45 @@ class ModelConfig:
         per_layer = attn + ffn + 2 * d
         return embed + self.num_layers * per_layer + d
 
+    def active_param_count(self) -> int:
+        """Parameters touched per token: MoE counts only the top-k routed +
+        shared experts (the reference's "A1B" figure); dense = param_count."""
+        if not self.is_moe:
+            return self.param_count()
+        d, fm = self.hidden_size, self.moe_intermediate_size
+        embed = self.vocab_size * d * (1 if self.tie_embeddings else 2)
+        attn = d * self.q_size + 2 * d * self.kv_size + self.q_size * d
+        if self.attention_bias:
+            attn += self.q_size + 2 * self.kv_size
+        if self.qk_norm:
+            attn += 2 * self.head_dim
+        ffn = (self.num_experts_per_tok + self.num_shared_experts) * 3 * d * fm
+        ffn += d * self.num_experts  # router
+        return embed + self.num_layers * (attn + ffn + 2 * d) + d
+
+    def forward_flops(self, seq_len: int, lm_head_width: Optional[int] = None) -> float:
+        """Analytic FLOPs of ONE forward pass over ``seq_len`` tokens
+        (matmuls only, 2·m·n·k convention), for MFU reporting.
+
+        ``lm_head_width``: tokens whose logits are actually computed — the
+        LLaDA sampler's block-sliced head evaluates only the active block
+        (sampling/llada.py), so pass ``block_length`` there; None = full
+        width (Dream/training)."""
+        d, S = self.hidden_size, seq_len
+        head_w = lm_head_width if lm_head_width is not None else S
+        attn_proj = 2 * S * (d * self.q_size + 2 * d * self.kv_size
+                             + self.q_size * d)
+        attn_mix = 4 * S * S * self.q_size  # scores + weighted sum
+        if self.is_moe:
+            fm = self.moe_intermediate_size
+            ffn = 2 * S * 3 * d * fm * (self.num_experts_per_tok
+                                        + self.num_shared_experts)
+            ffn += 2 * S * d * self.num_experts  # router
+        else:
+            ffn = 2 * S * 3 * d * self.intermediate_size
+        lm_head = 2 * head_w * d * self.vocab_size
+        return float(self.num_layers * (attn_proj + attn_mix + ffn) + lm_head)
+
 
 # ---------------------------------------------------------------------------
 # Presets
@@ -129,14 +168,21 @@ _register(ModelConfig(
     rope_theta=500000.0, mask_token_id=126336, eos_token_id=126081,
 ))
 
-# inclusionAI/LLaDA-MoE-7B-A1B-Instruct: ~7.3B total / ~1.4B active,
-# 64 routed experts top-8 + shared expert; mask id 156895
-# (Pre-Trained/bench_models/llada.py:45).
+# inclusionAI/LLaDA-MoE-7B-A1B-Instruct: ~7.3B total / ~1.4B active ("A1B" =
+# ~1B active non-embedding), 64 routed experts top-8 + shared expert; mask id
+# 156895 (Pre-Trained/bench_models/llada.py:45).  Dims are best-effort
+# scale-matching (zero-egress: the real config.json wins at load time):
+# 18 layers x moe_intermediate 896 gives 7.27B total / 1.08B active
+# non-embed — within 1% of the published totals — at 13.5 GiB bf16, so the
+# full model fits one v5e chip's 16 GB HBM for the headline bench.  Each
+# stacked expert tensor [18,64,2048,896] is deliberately < 2^32 bytes: the
+# axon TPU allocator only accommodates ~two >=4 GiB buffers regardless of
+# free HBM (measured), so no parameter leaf may reach 4 GiB.
 _register(ModelConfig(
     name="llada-moe-7b", family="llada-moe",
-    vocab_size=157184, hidden_size=2048, num_layers=16, num_heads=16,
+    vocab_size=157184, hidden_size=2048, num_layers=18, num_heads=16,
     num_kv_heads=4, head_dim=128, intermediate_size=5632,
-    num_experts=64, num_experts_per_tok=8, moe_intermediate_size=1408,
+    num_experts=64, num_experts_per_tok=8, moe_intermediate_size=896,
     num_shared_experts=1, rope_theta=600000.0, mask_token_id=156895,
     attention_bias=False, qk_norm=True,
 ))
@@ -156,6 +202,23 @@ _register(ModelConfig(
 # Dream (Pre-Trained/bench_models/diffucoder.py:68-102 uses the identical
 # diffusion_generate interface and `<|dlm_pad|>` padding token).
 _register(PRESETS["dream-7b"].replace(name="diffucoder-7b", family="diffucoder"))
+
+# Single-chip MoE bench fallback: identical architecture/active-compute
+# profile to llada-moe-7b (same D/heads/top-8-of-64/shared expert) with
+# 16 layers x Fm=768 so every expert stack is exactly 3.0 GiB — the largest
+# leaf the axon pool allocator accepts more than two of (>3 GiB buffers cap
+# at 2 regardless of free HBM; measured 2026-08-16).  5.72B total / 1.49B
+# active: active compute matches the 7B-A1B closely; total-expert HBM
+# traffic is ~25% lighter, which bench.py notes in its JSON when it falls
+# back to this preset.
+_register(ModelConfig(
+    name="llada-moe-bench1chip", family="llada-moe",
+    vocab_size=157184, hidden_size=2048, num_layers=16, num_heads=16,
+    num_kv_heads=4, head_dim=128, intermediate_size=5632,
+    num_experts=64, num_experts_per_tok=8, moe_intermediate_size=768,
+    num_shared_experts=1, rope_theta=600000.0, mask_token_id=156895,
+    attention_bias=False, qk_norm=True,
+))
 
 # Reduced-size flagship for single-chip benchmarking: the 8B dense model in
 # bf16 (~16.3 GB) does not fit a single v5e chip's 16 GB HBM (SURVEY.md §7
