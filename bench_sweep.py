@@ -146,15 +146,16 @@ def bench_grouped_gemm():
 
 def main():
     assert jax.default_backend() == "tpu", "perf ledger is a TPU artifact"
-    chip = jax.devices()[0].device_kind
-    ledger = {
-        "chip_kind": chip,
-        "attention_crossover": bench_attention_crossover(),
-        "grouped_gemm": bench_grouped_gemm(),
-        "dream_reference_config": bench_dream(),
-    }
-    with open("PERF.json", "w") as f:
-        json.dump(ledger, f, indent=2)
+    ledger = {"chip_kind": jax.devices()[0].device_kind}
+    for name, fn in (("attention_crossover", bench_attention_crossover),
+                     ("grouped_gemm", bench_grouped_gemm),
+                     ("dream_reference_config", bench_dream)):
+        try:
+            ledger[name] = fn()
+        except Exception as e:  # keep the partial ledger (pool OOMs happen)
+            ledger[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        with open("PERF.json", "w") as f:
+            json.dump(ledger, f, indent=2)
     print(json.dumps(ledger))
 
 

@@ -73,29 +73,49 @@ def _gmm_kernel(tile_expert_ref, x_ref, w_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
+def _pick_tile_n(f_pad: int, d: int, itemsize: int,
+                 budget_bytes: int = 8 << 20) -> int:
+    """Widest 128-multiple n-tile whose [D, tile_n] weight block fits the
+    VMEM budget — wider tiles mean fewer n passes over the rows and fewer
+    weight re-fetches per expert."""
+    max_n = max(128, (budget_bytes // (d * itemsize)) // 128 * 128)
+    tile_n = min(f_pad, max_n)
+    while f_pad % tile_n:
+        tile_n -= 128
+    return tile_n
+
+
 def grouped_matmul_padded(
     x_padded: jnp.ndarray,    # [M_pad, D], rows tile-aligned per expert
     w: jnp.ndarray,           # [E, D, F]
     tile_expert: jnp.ndarray,  # [M_pad / tile_m] int32
     tile_m: int = TILE_M,
-    tile_n: int = TILE_N,
+    tile_n: int | None = None,
 ) -> jnp.ndarray:
     m_pad, d = x_padded.shape
     e, _, f = w.shape
-    f_pad = _round_up(f, tile_n)
+    f_pad = _round_up(f, TILE_N)
     if f_pad != f:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, f_pad - f)))
+    if tile_n is None:
+        tile_n = _pick_tile_n(f_pad, d, w.dtype.itemsize)
 
+    # Grid order (n, m) with m innermost: consecutive steps walk row tiles
+    # of the SAME n-tile, so while the expert id is unchanged the weight
+    # block's index-map output repeats and Pallas skips its HBM→VMEM DMA.
+    # (The previous row-major (m, n) order re-fetched the expert weight tile
+    # once per row tile — ~70 GB of redundant DMA per denoise step at the
+    # llada-moe-7b bench shape, the dominant cost behind its 11% MFU.)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(m_pad // tile_m, f_pad // tile_n),
+        grid=(f_pad // tile_n, m_pad // tile_m),
         in_specs=[
-            pl.BlockSpec((tile_m, d), lambda i, j, te: (i, 0),
+            pl.BlockSpec((tile_m, d), lambda j, i, te: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, tile_n), lambda i, j, te: (te[i], 0, j),
+            pl.BlockSpec((1, d, tile_n), lambda j, i, te: (te[i], 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, te: (i, j),
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda j, i, te: (i, j),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -131,24 +151,30 @@ def grouped_expert_ffn_pallas(
 
     flat_expert = topk_idx.reshape(-1)
     order = jnp.argsort(flat_expert, stable=True)
-    token_of = order // k
     group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
 
     dest, tile_expert, m_pad = padded_layout(group_sizes, m, tile_m)
 
-    xs_padded = jnp.zeros((m_pad, d), x.dtype).at[dest].set(
-        jnp.take(x, token_of, axis=0))
-
+    # All row movement is GATHERS — TPU scatters of wide rows are orders of
+    # magnitude slower (measured ~25 ms vs ~1 ms at [16k, 2048] bf16 on
+    # v5e).  Only two tiny 1-D int scatters build the index maps.
+    src = jnp.full((m_pad,), 0, jnp.int32).at[dest].set(
+        (order // k).astype(jnp.int32))                 # padded row → token
+    xs_padded = jnp.take(x, src, axis=0)                # pad rows: dup of a
+    #                                                     real row, weight 0
     gate = grouped_matmul_padded(xs_padded, we_gate, tile_expert, tile_m)
     up = grouped_matmul_padded(xs_padded, we_up, tile_expert, tile_m)
     h = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
     out_padded = grouped_matmul_padded(h, we_down, tile_expert, tile_m)
 
-    out_sorted = jnp.take(out_padded, dest, axis=0)           # [M, D]
-    weights = topk_probs.reshape(-1)[order]
-    contrib = out_sorted.astype(jnp.float32) * weights[:, None]
-    out = jnp.zeros((n, d), jnp.float32).at[token_of].add(contrib)
-    return out.astype(x.dtype)
+    # slot (original order) → its padded row, then gather + reshape-sum.
+    inv = jnp.zeros((m,), jnp.int32).at[order].set(
+        jnp.arange(m, dtype=jnp.int32))                 # slot → sorted pos
+    slot_rows = jnp.take(dest, inv)                     # slot → padded row
+    out_slots = jnp.take(out_padded, slot_rows, axis=0)
+    contrib = out_slots.astype(jnp.float32).reshape(n, k, d) \
+        * topk_probs[..., None]
+    return contrib.sum(axis=1).astype(x.dtype)
 
 
 def ragged_matmul(xs_sorted, w, group_sizes, tile_m: int = TILE_M):
@@ -157,6 +183,8 @@ def ragged_matmul(xs_sorted, w, group_sizes, tile_m: int = TILE_M):
     one scatter/gather pair instead)."""
     m = xs_sorted.shape[0]
     dest, tile_expert, m_pad = padded_layout(group_sizes, m, tile_m)
-    xp = jnp.zeros((m_pad, xs_sorted.shape[1]), xs_sorted.dtype).at[dest].set(xs_sorted)
+    src = jnp.zeros((m_pad,), jnp.int32).at[dest].set(
+        jnp.arange(m, dtype=jnp.int32))
+    xp = jnp.take(xs_sorted, src, axis=0)  # gather, not a wide-row scatter
     out = grouped_matmul_padded(xp, w, tile_expert, tile_m)
     return jnp.take(out, dest, axis=0)
