@@ -73,6 +73,65 @@ def _gmm_kernel(tile_expert_ref, x_ref, w_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
+def _gmm_gateup_kernel(tile_expert_ref, x_ref, wg_ref, wu_ref, h_ref):
+    """Fused gate/up/SiLU: one x tile feeds two expert matmuls and the
+    activation runs on the f32 accumulators in VMEM — the gate and up
+    intermediates never round-trip HBM."""
+    gate = jax.lax.dot_general(
+        x_ref[:, :], wg_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    up = jax.lax.dot_general(
+        x_ref[:, :], wu_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h_ref[:, :] = (jax.nn.silu(gate) * up).astype(h_ref.dtype)
+
+
+def grouped_gateup_padded(
+    x_padded: jnp.ndarray,     # [M_pad, D]
+    we_gate: jnp.ndarray,      # [E, D, F]
+    we_up: jnp.ndarray,        # [E, D, F]
+    tile_expert: jnp.ndarray,  # [M_pad / tile_m] int32
+    tile_m: int = TILE_M,
+) -> jnp.ndarray:
+    """silu(x @ we_gate[e]) * (x @ we_up[e]) on the padded grouped layout."""
+    m_pad, d = x_padded.shape
+    e, _, f = we_gate.shape
+    f_pad = _round_up(f, TILE_N)
+    if f_pad != f:
+        we_gate = jnp.pad(we_gate, ((0, 0), (0, 0), (0, f_pad - f)))
+        we_up = jnp.pad(we_up, ((0, 0), (0, 0), (0, f_pad - f)))
+    # Two weight blocks live at once — halve the per-block budget.
+    tile_n = _pick_tile_n(f_pad, d, we_gate.dtype.itemsize, budget_bytes=4 << 20)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f_pad // tile_n, m_pad // tile_m),
+        in_specs=[
+            pl.BlockSpec((tile_m, d), lambda j, i, te: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, tile_n), lambda j, i, te: (te[i], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, tile_n), lambda j, i, te: (te[i], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda j, i, te: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _gmm_gateup_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, f_pad), x_padded.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * d * f_pad,
+            bytes_accessed=(x_padded.size + m_pad * f_pad) * x_padded.dtype.itemsize
+            + 2 * we_gate.size * we_gate.dtype.itemsize,
+            transcendentals=m_pad * f_pad,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(tile_expert, x_padded, we_gate, we_up)
+    return out[:, :f]
+
+
 def _pick_tile_n(f_pad: int, d: int, itemsize: int,
                  budget_bytes: int = 8 << 20) -> int:
     """Widest 128-multiple n-tile whose [D, tile_n] weight block fits the
@@ -162,9 +221,7 @@ def grouped_expert_ffn_pallas(
         (order // k).astype(jnp.int32))                 # padded row → token
     xs_padded = jnp.take(x, src, axis=0)                # pad rows: dup of a
     #                                                     real row, weight 0
-    gate = grouped_matmul_padded(xs_padded, we_gate, tile_expert, tile_m)
-    up = grouped_matmul_padded(xs_padded, we_up, tile_expert, tile_m)
-    h = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
+    h = grouped_gateup_padded(xs_padded, we_gate, we_up, tile_expert, tile_m)
     out_padded = grouped_matmul_padded(h, we_down, tile_expert, tile_m)
 
     # slot (original order) → its padded row, then gather + reshape-sum.

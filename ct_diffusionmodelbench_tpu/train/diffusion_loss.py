@@ -63,10 +63,19 @@ def diffusion_sft_loss(
     aux_coef: float = 0.01,
     eps: float = 1e-3,
     attn_mask: Optional[jnp.ndarray] = None,
+    mask_variant: str = "recompute",
 ):
-    """Scalar loss + metrics dict."""
+    """Scalar loss + metrics dict.
+
+    ``mask_variant``: 'recompute' (default, the 0to1k semantics — CE only
+    where the model actually sees mask_id) or 'pre_restore' (the 1kto21k
+    script's behavior: reuse the pre-prompt-restore mask, i.e. also train on
+    restored prompt tokens with 1/p_mask weight) — provided so loss curves
+    from 1kto21k-trained checkpoints can be reproduced exactly."""
+    if mask_variant not in ("recompute", "pre_restore"):
+        raise ValueError(f"unknown mask_variant {mask_variant!r}")
     b, l = input_ids.shape
-    noisy, _, p_mask = forward_process(input_ids, mask_id, key, eps)
+    noisy, pre_restore_mask, p_mask = forward_process(input_ids, mask_id, key, eps)
     p_mask = jnp.clip(p_mask, 1e-6, 1.0)
 
     positions = jnp.arange(l, dtype=jnp.int32)[None, :]
@@ -79,9 +88,13 @@ def diffusion_sft_loss(
     logits, aux = forward_fn(params, noisy, attn_mask)
     logits = logits.astype(jnp.float32)
 
-    # Recompute the mask from the noised batch like the reference (:294-295)
-    # — positions whose original token *is* mask_id drop out identically.
-    masked = (noisy == mask_id) & (input_ids != mask_id)
+    if mask_variant == "pre_restore":
+        # Training_1kto21k/train.py:331-339 semantics (see module docstring).
+        masked = pre_restore_mask
+    else:
+        # Recompute the mask from the noised batch (train.py:294-295) —
+        # positions whose original token *is* mask_id drop out identically.
+        masked = (noisy == mask_id) & (input_ids != mask_id)
 
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
     target_logit = jnp.take_along_axis(logits, input_ids[..., None], axis=-1)[..., 0]

@@ -61,6 +61,8 @@ class TrainConfig:
     save_optimizer_state: bool = False  # large; only for resume (train.py:43)
     seed: int = 42
     aux_loss_coef: float = 0.01
+    mask_variant: str = "recompute"    # 'pre_restore' = 1kto21k loss compat
+                                       # (see train/diffusion_loss.py)
     variable_length: bool = True
     varlen_prob: float = 0.01
     varlen_min: int = 8
@@ -122,6 +124,7 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
             lambda p, ids, m: forward_fn(p, ids, m),
             params, input_ids, prompt_lengths, mask_id, key,
             aux_coef=train_cfg.aux_loss_coef if model_cfg.is_moe else 0.0,
+            mask_variant=train_cfg.mask_variant,
         )
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -228,3 +228,47 @@ def test_trainer_sharded_moe_runs(tmp_path):
     assert final["status"] == "completed"
     losses = [l["loss"] for l in trainer.training_logs if "loss" in l]
     assert all(np.isfinite(losses))
+
+
+def test_mask_variant_pre_restore_differs_and_is_finite(tiny_dense):
+    """'pre_restore' (Training_1kto21k/train.py:331-339 compat) trains on
+    restored prompt tokens too, so with a long prompt its loss differs from
+    the default recomputed-mask variant."""
+    from ct_diffusionmodelbench_tpu.train.diffusion_loss import diffusion_sft_loss
+
+    cfg, params, fwd = tiny_dense
+    ids = jax.random.randint(jax.random.key(11), (2, 24), 3, cfg.vocab_size - 2)
+    plens = jnp.array([16, 18])
+    key = jax.random.key(12)
+    f = lambda p, i, m: fwd(p, i, m)
+    l_rec, _ = diffusion_sft_loss(f, params, ids, plens, MASK, key)
+    l_pre, m_pre = diffusion_sft_loss(f, params, ids, plens, MASK, key,
+                                      mask_variant="pre_restore")
+    assert np.isfinite(float(l_pre))
+    # same RNG -> same noising; pre_restore counts prompt positions too
+    assert float(m_pre["masked_tokens"]) >= 0
+    assert float(l_pre) != float(l_rec)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        diffusion_sft_loss(f, params, ids, plens, MASK, key,
+                           mask_variant="nope")
+
+
+def test_chunked_normal_matches_moments():
+    """The chunked big-tensor init produces scaled normals chunk by chunk:
+    correct shape/dtype/moments, deterministic per key, chunks differ."""
+    from ct_diffusionmodelbench_tpu.models.transformer import _chunked_normal_trace
+
+    f = jax.jit(lambda k: _chunked_normal_trace(
+        k, (64, 32, 16), 0.125, jnp.float32, target_bytes=4096))
+    a = np.asarray(f(jax.random.key(5)))
+    b = np.asarray(f(jax.random.key(5)))
+    c = np.asarray(f(jax.random.key(6)))
+    assert a.shape == (64, 32, 16) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+    np.testing.assert_allclose(a.std(), 0.125, rtol=0.05)
+    np.testing.assert_allclose(a.mean(), 0.0, atol=0.01)
+    # rows from different chunks are not duplicated
+    assert (a[0] != a[-1]).any()
