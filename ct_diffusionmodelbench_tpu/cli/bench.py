@@ -50,6 +50,9 @@ def build_parser():
     p.add_argument("--fake-lean", action="store_true",
                    help="Use the offline fake Lean verifier")
     p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="DP prompt batch per generate (left-padded; shards "
+                        "over the mesh data axis under --dp)")
     p.add_argument("--quiet", action="store_true")
     add_parallel_flags(p)
     return p
@@ -76,6 +79,7 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens, top_p=args.top_p, alg=args.alg,
         dream_temperature=args.dream_temperature, results_dir=args.results_dir,
         exact=args.exact, batch_mean_counts=args.batch_mean_counts,
+        batch_size=args.batch_size,
     )
     bench = DiffusionBenchmark(runner, cfg, verifier=verifier, quiet=args.quiet)
     report = bench.run_benchmark(

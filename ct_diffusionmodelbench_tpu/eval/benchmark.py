@@ -63,6 +63,8 @@ class BenchmarkConfig:
     dream_temperature: float = 0.4
     exact: bool = False               # disable the top-k prefilter (parity)
     batch_mean_counts: bool = False   # remote-code batch-averaged counts
+    batch_size: int = 1               # DP prompt batch per generate (shards
+                                      # over the mesh 'data' axis)
     results_dir: Optional[str] = None
     seed: int = 0
 
@@ -113,34 +115,46 @@ class DiffusionBenchmark:
                   f"{num_blocks}. Adjusting steps to {adj}.")
             c.steps = adj
 
-    def generate_solution(self, problem_statement: str):
-        """Returns (solution_text, generation_time_seconds, success_bool)."""
+    def _gen_kwargs(self) -> Dict:
         c = self.cfg
-        try:
-            if c.style == "llada":
-                self._auto_adjust()
-                res = self.runner.generate(
-                    self.create_prompt(problem_statement),
-                    gen_length=c.gen_length, steps=c.steps,
-                    block_length=c.block_length, temperature=c.temperature,
-                    cfg_scale=c.cfg_scale, remasking=c.remasking,
-                    skip_special_tokens=False,   # llada.py:242
-                    seed=c.seed,
-                )
-            else:
-                res = self.runner.generate(
-                    self.create_prompt(problem_statement),
-                    gen_length=c.max_new_tokens, steps=c.steps,
+        if c.style == "llada":
+            self._auto_adjust()
+            return dict(gen_length=c.gen_length, steps=c.steps,
+                        block_length=c.block_length, temperature=c.temperature,
+                        cfg_scale=c.cfg_scale, remasking=c.remasking,
+                        skip_special_tokens=False,   # llada.py:242
+                        seed=c.seed)
+        return dict(gen_length=c.max_new_tokens, steps=c.steps,
                     temperature=c.dream_temperature, top_p=c.top_p,
                     alg=c.alg, alg_temp=c.alg_temp,
                     exact=c.exact, batch_mean_counts=c.batch_mean_counts,
-                    skip_special_tokens=False, seed=c.seed,
-                )
+                    skip_special_tokens=False, seed=c.seed)
+
+    def generate_solution(self, problem_statement: str):
+        """Returns (solution_text, generation_time_seconds, success_bool)."""
+        try:
+            res = self.runner.generate(self.create_prompt(problem_statement),
+                                       **self._gen_kwargs())
             return res.text, res.latency_sec, True
         except MemoryError:
             return "Out of memory", 0.0, False
         except Exception as e:
             return f"Error during generation: {e}", 0.0, False
+
+    def generate_solutions(self, problem_statements: Sequence[str]):
+        """Batched variant: one DP left-padded generate for the whole chunk
+        (shards over the mesh 'data' axis under --dp).  Falls back to the
+        per-sample path on any batch failure so one bad prompt never kills
+        the sweep (reference resilience contract, llada.py:246-249)."""
+        if len(problem_statements) == 1:
+            return [self.generate_solution(problem_statements[0])]
+        try:
+            results = self.runner.generate_batch(
+                [self.create_prompt(p) for p in problem_statements],
+                **self._gen_kwargs())
+            return [(r.text, r.latency_sec, True) for r in results]
+        except Exception:
+            return [self.generate_solution(p) for p in problem_statements]
 
     # -- sweep -------------------------------------------------------------
 
@@ -177,14 +191,23 @@ class DiffusionBenchmark:
                 self.stats["compilation_success"].append(ok)
             pending.clear()
 
+        def statement_of(entry):
+            s = (entry.get("informal_prefix") or "").strip()
+            return s or entry.get("problem", entry.get("question", ""))
+
+        bs = max(1, self.cfg.batch_size)
+        gen_cache: Dict[int, tuple] = {}
         for i in range(start_idx, end_idx):
             entry = dataset[i]
-            problem_statement = (entry.get("informal_prefix") or "").strip()
-            if not problem_statement:
-                problem_statement = entry.get("problem", entry.get("question", ""))
+            problem_statement = statement_of(entry)
             formal_statement = entry.get("formal_statement", "")
 
-            solution, gen_time, success = self.generate_solution(problem_statement)
+            if i not in gen_cache:  # generate the next chunk in one batch
+                chunk = list(range(i, min(i + bs, end_idx)))
+                outs = self.generate_solutions(
+                    [statement_of(dataset[j]) for j in chunk])
+                gen_cache.update(zip(chunk, outs))
+            solution, gen_time, success = gen_cache.pop(i)
             quality = evaluate_solution_quality(
                 solution, formal_statement, problem_statement,
                 verifier=None if async_verifier else self.verifier,

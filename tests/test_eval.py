@@ -265,3 +265,24 @@ def test_replot_cli(tmp_path, capsys):
     mp.write_text(json.dumps(metrics))
     main([str(mp), "--output-dir", str(tmp_path)])
     assert (tmp_path / "training_plots.png").exists()
+
+
+def test_benchmark_batched_matches_serial(tmp_path, tiny_runner):
+    """batch_size>1 runs the sweep through generate_batch (DP path) and the
+    greedy outputs equal the serial sweep sample-for-sample."""
+    kw = dict(style="llada", gen_length=16, steps=8, block_length=4)
+    b1 = DiffusionBenchmark(
+        tiny_runner, BenchmarkConfig(results_dir=str(tmp_path / "s1"), **kw),
+        verifier=FakeLeanVerifier(), quiet=True)
+    r1 = b1.run_benchmark(_entries(5), max_samples=5, save_interval=10)
+    b2 = DiffusionBenchmark(
+        tiny_runner, BenchmarkConfig(results_dir=str(tmp_path / "s2"),
+                                     batch_size=2, **kw),
+        verifier=FakeLeanVerifier(), quiet=True)
+    r2 = b2.run_benchmark(_entries(5), max_samples=5, save_interval=10)
+
+    assert len(b1.results) == len(b2.results) == 5
+    for a, b in zip(b1.results, b2.results):
+        assert a["generated_solution"] == b["generated_solution"]
+        assert a["generation_success"] and b["generation_success"]
+    assert r2["benchmark_info"]["total_samples"] == 5
