@@ -177,15 +177,31 @@ def _filter_and_sample(logits, sc: DreamSamplerConfig, key):
     return x0.astype(jnp.int32), conf
 
 
-def _dream_loop(forward_fn, sc: DreamSamplerConfig, x, attn_mask, key, record_history: bool):
+def _dream_loop(forward_fn, sc: DreamSamplerConfig, x, attn_mask, key,
+                record_history: bool, prompt_len: int = 0,
+                supports_slice: bool = False):
+    """``prompt_len > 0`` with slice support scores only the generated
+    region: the LM head, the [B, S, V] f32 cast and all sampling math run on
+    [B, gen] instead of [B, prompt+gen].  Equivalent to the full-width
+    remote-code math whenever the prompt contains no mask tokens (prompt
+    positions are never masked then, so their scores can never be selected);
+    disabled in ``exact`` parity mode, where prompts containing literal
+    mask_id tokens must stay unmaskable-in-place like the remote code."""
     B, S = x.shape
     timesteps = jnp.linspace(1.0, sc.eps, sc.steps + 1)
+    sliced = supports_slice and prompt_len > 0 and not sc.exact
+    lo = prompt_len if sliced else 0
 
     def step(i, carry):
         x, key, history = carry
         key, k_tok, k_pos = jax.random.split(key, 3)
-        mask_index = x == sc.mask_id
-        logits, _ = forward_fn(x, attn_mask)
+        x_gen = x[:, lo:]
+        mask_index = x_gen == sc.mask_id
+        if sliced:
+            logits, _ = forward_fn(x, attn_mask, logit_start=lo,
+                                   logit_length=S - lo)
+        else:
+            logits, _ = forward_fn(x, attn_mask)
         x0, conf = _filter_and_sample(logits.astype(jnp.float32), sc, k_tok)
 
         t = timesteps[i]
@@ -194,7 +210,7 @@ def _dream_loop(forward_fn, sc: DreamSamplerConfig, x, attn_mask, key, record_hi
 
         if sc.alg == "origin":
             p_transfer = jnp.where(is_last, 1.0, 1.0 - s / t)
-            u = jax.random.uniform(k_pos, x.shape)
+            u = jax.random.uniform(k_pos, x_gen.shape)
             transfer = mask_index & (u < p_transfer)
         else:
             if sc.batch_mean_counts:
@@ -225,7 +241,8 @@ def _dream_loop(forward_fn, sc: DreamSamplerConfig, x, attn_mask, key, record_hi
                 full_conf = jnp.where(mask_index, full_conf / sc.alg_temp + g, NEG_INF)
             transfer = rank_topk_mask(full_conf, k_count) & mask_index
 
-        x = jnp.where(transfer, x0, x)
+        new_gen = jnp.where(transfer, x0, x_gen)
+        x = x.at[:, lo:].set(new_gen) if sliced else new_gen
         if record_history:
             history = history.at[i].set(x)
         return (x, key, history)
@@ -243,21 +260,25 @@ def make_dream_sampler(
 ) -> Callable:
     """Returns ``sample(params, prompt_ids, attn_mask=None, key=None)``
     → (sequences [B, P+G], history [steps or 0, B, P+G])."""
+    from ct_diffusionmodelbench_tpu.sampling.llada import _supports_logit_slice
+
     sc = sampler_config
+    supports_slice = _supports_logit_slice(forward_fn)
 
     @jax.jit
     def sample(params, prompt_ids, attn_mask=None, key=None):
         if key is None:
             key = jax.random.key(0)
-        B = prompt_ids.shape[0]
+        B, P = prompt_ids.shape
         gen = jnp.full((B, sc.max_new_tokens), sc.mask_id, prompt_ids.dtype)
         x = jnp.concatenate([prompt_ids, gen], axis=1)
         full_mask = None
         if attn_mask is not None:
             ones = jnp.ones((B, sc.max_new_tokens), attn_mask.dtype)
             full_mask = jnp.concatenate([attn_mask, ones], axis=1)
-        fwd = lambda ids, m: forward_fn(params, ids, m)
-        return _dream_loop(fwd, sc, x, full_mask, key, output_history)
+        fwd = lambda ids, m, **kw: forward_fn(params, ids, m, **kw)
+        return _dream_loop(fwd, sc, x, full_mask, key, output_history,
+                           prompt_len=int(P), supports_slice=supports_slice)
 
     return sample
 

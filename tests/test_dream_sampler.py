@@ -250,3 +250,33 @@ def test_alg_temp_positions_sampled(tiny_dream):
     assert not (seq1 == MASK).any() and not (seq2 == MASK).any()
     # intermediate unmask order differs between keys
     assert (np.asarray(h1) != np.asarray(h2)).any()
+
+
+def test_gen_region_slice_matches_full_width(tiny_dream):
+    """The gen-region logit slice (model supports logit_start) decodes the
+    same greedy tokens as a full-width run with identical filter math
+    (slice support hidden from the sampler) for mask-free prompts."""
+    cfg, params, fwd = tiny_dream
+    prompt = jax.random.randint(jax.random.key(50), (2, 7), 3, cfg.vocab_size - 20)
+    kw = dict(steps=4, max_new_tokens=8, temperature=0.0, top_p=0.9,
+              alg="entropy", mask_id=MASK)
+    sliced, _ = dream_generate(fwd, params, prompt, **kw)
+    fwd_noslice = lambda p, ids, m=None: fwd(p, ids, m)  # hides logit_start
+    full, _ = dream_generate(fwd_noslice, params, prompt, **kw)
+    np.testing.assert_array_equal(np.asarray(sliced), np.asarray(full))
+
+
+def test_gen_region_slice_prompt_mask_divergence_documented(tiny_dream):
+    """Pathological prompts containing mask_id: exact mode unmasks them in
+    place (remote-code behavior); the sliced fast path leaves them (same
+    documented divergence as the LLaDA block-sliced head)."""
+    cfg, params, fwd = tiny_dream
+    prompt = jnp.array([[5, MASK, 9, 11]], jnp.int32)
+    kw = dict(steps=4, max_new_tokens=8, temperature=0.0, alg="entropy",
+              top_p=0.9, mask_id=MASK)
+    full, _ = dream_generate(fwd, params, prompt, exact=True, **kw)
+    assert not (np.asarray(full) == MASK).any()          # prompt mask decoded
+    sliced, _ = dream_generate(fwd, params, prompt, **kw)
+    s = np.asarray(sliced)
+    assert s[0, 1] == MASK                               # left untouched
+    assert not (s[:, 4:] == MASK).any()                  # gen region decoded
