@@ -116,12 +116,12 @@ def bench_attention_crossover():
 
 def bench_grouped_gemm():
     """Pallas grouped GEMM vs lax.ragged_dot at the llada-moe-7b routing
-    shape (N=2048 tokens, top-8 of 64 experts, D=2048, Fm=1024, bf16)."""
+    shape (N=2048 tokens, top-8 of 64 experts, D=2048, Fm=896, bf16)."""
     import os
 
     from ct_diffusionmodelbench_tpu.ops import grouped_gemm as gg
 
-    N, K, E, D, Fm = 2048, 8, 64, 2048, 1024
+    N, K, E, D, Fm = 2048, 8, 64, 2048, 896
     x = jax.random.normal(jax.random.key(0), (N, D), jnp.bfloat16)
     probs = jax.nn.softmax(jax.random.normal(jax.random.key(1), (N, K)), -1)
     idx = jax.random.randint(jax.random.key(2), (N, K), 0, E)

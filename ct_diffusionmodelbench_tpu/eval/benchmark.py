@@ -144,8 +144,12 @@ class DiffusionBenchmark:
     def generate_solutions(self, problem_statements: Sequence[str]):
         """Batched variant: one DP left-padded generate for the whole chunk
         (shards over the mesh 'data' axis under --dp).  Falls back to the
-        per-sample path on any batch failure so one bad prompt never kills
-        the sweep (reference resilience contract, llada.py:246-249)."""
+        per-sample path (with a visible warning) on any batch failure so one
+        bad prompt never kills the sweep (reference resilience contract,
+        llada.py:246-249).  Greedy outputs are batch-size-invariant (tested);
+        stochastic samplers draw one RNG stream per batch, so temp>0 results
+        differ between batch sizes — the reference has no batch mode, so
+        there is no contract to match there."""
         if len(problem_statements) == 1:
             return [self.generate_solution(problem_statements[0])]
         try:
@@ -153,7 +157,10 @@ class DiffusionBenchmark:
                 [self.create_prompt(p) for p in problem_statements],
                 **self._gen_kwargs())
             return [(r.text, r.latency_sec, True) for r in results]
-        except Exception:
+        except Exception as e:
+            print(f"[Warning] batched generation failed "
+                  f"({type(e).__name__}: {e}); falling back to per-sample "
+                  f"generation for this chunk")
             return [self.generate_solution(p) for p in problem_statements]
 
     # -- sweep -------------------------------------------------------------

@@ -8,8 +8,9 @@ DMA (PrefetchScalarGridSpec — the index map reads the expert id before the
 kernel body runs), so only routed experts' weights ever cross HBM→VMEM and
 the MXU never multiplies one token by two experts' weights.
 
-Padding cost: < num_experts * tile_m zero rows, which multiply against real
-weights but contribute nothing and are dropped on the unsort gather.
+Padding cost: < num_experts * tile_m pad rows (duplicates of token 0's row —
+the gather-based layout never writes zeros), which multiply against real
+weights but whose outputs are dropped on the unsort gather.
 
 Used when ``CTDB_GROUPED_GEMM=pallas``; the default grouped path is
 ``jax.lax.ragged_dot`` (XLA's own grouped GEMM) — bench.py-style
@@ -153,11 +154,13 @@ def grouped_matmul_padded(
 ) -> jnp.ndarray:
     m_pad, d = x_padded.shape
     e, _, f = w.shape
-    f_pad = _round_up(f, TILE_N)
+    if tile_n is None:
+        f_pad = _round_up(f, TILE_N)
+        tile_n = _pick_tile_n(f_pad, d, w.dtype.itemsize)  # divides f_pad
+    else:
+        f_pad = _round_up(f, tile_n)  # explicit tile_n: pad up to it
     if f_pad != f:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, f_pad - f)))
-    if tile_n is None:
-        tile_n = _pick_tile_n(f_pad, d, w.dtype.itemsize)
 
     # Grid order (n, m) with m innermost: consecutive steps walk row tiles
     # of the SAME n-tile, so while the expert id is unchanged the weight

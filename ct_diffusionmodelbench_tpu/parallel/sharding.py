@@ -103,12 +103,20 @@ def make_sharded_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
     specs = param_specs(cfg)
     pshard = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                           is_leaf=lambda x: isinstance(x, P))
-    dshard = NamedSharding(mesh, P(DATA_AXIS, None))
+    dp = mesh.shape[DATA_AXIS]
 
-    logits_shard = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
-    jitted = {}  # keyed by logit_length (None = full width)
+    jitted = {}  # keyed by (logit_length or None, batch_divisible_by_dp)
 
-    def _build(logit_length):
+    def _build(logit_length, batch_sharded):
+        # Batches not divisible by the data axis (single-prompt chat under
+        # --dp, eval tail batches) replicate over 'data' instead of
+        # sharding — TP stays active, DP is simply unused for that call.
+        # Forcing P('data') unconditionally raised a pjit divisibility
+        # error and killed the run.
+        batch_spec = P(DATA_AXIS) if batch_sharded else P()
+        dshard = NamedSharding(mesh, P(*batch_spec, None))
+        logits_shard = NamedSharding(mesh, P(*batch_spec, None, MODEL_AXIS))
+
         @partial(
             jax.jit,
             in_shardings=(pshard, dshard, None, None),
@@ -126,10 +134,11 @@ def make_sharded_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
 
     def wrapper(params, input_ids, attn_mask=None, logit_start=None,
                 logit_length=None):
-        key = logit_length if logit_start is not None else None
+        ll = logit_length if logit_start is not None else None
+        key = (ll, input_ids.shape[0] % dp == 0)
         if key not in jitted:
-            jitted[key] = _build(key)
+            jitted[key] = _build(*key)
         return jitted[key](params, input_ids, attn_mask,
-                           logit_start if key is not None else None)
+                           logit_start if ll is not None else None)
 
     return wrapper

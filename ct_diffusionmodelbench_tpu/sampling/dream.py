@@ -185,11 +185,17 @@ def _dream_loop(forward_fn, sc: DreamSamplerConfig, x, attn_mask, key,
     [B, gen] instead of [B, prompt+gen].  Equivalent to the full-width
     remote-code math whenever the prompt contains no mask tokens (prompt
     positions are never masked then, so their scores can never be selected);
-    disabled in ``exact`` parity mode, where prompts containing literal
-    mask_id tokens must stay unmaskable-in-place like the remote code."""
+    disabled in both parity modes — ``exact`` (prompts containing literal
+    mask_id tokens must stay unmaskable-in-place like the remote code) and
+    ``batch_mean_counts`` (the remote batch-averaged count runs over the
+    full width, prompt masks included).  Note: at temperature > 0 or with
+    alg='origin'/alg_temp > 0 the sliced path draws RNG over [B, gen]
+    instead of [B, S], so samples differ from a full-width run with the
+    same key (equal in distribution)."""
     B, S = x.shape
     timesteps = jnp.linspace(1.0, sc.eps, sc.steps + 1)
-    sliced = supports_slice and prompt_len > 0 and not sc.exact
+    sliced = (supports_slice and prompt_len > 0
+              and not sc.exact and not sc.batch_mean_counts)
     lo = prompt_len if sliced else 0
 
     def step(i, carry):

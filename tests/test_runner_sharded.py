@@ -84,3 +84,19 @@ def test_cli_minif2f_tp(tmp_path, capsys):
     assert results, "no results JSON written"
     data = json.loads(results[0].read_text())
     assert data["stats"]["total"] == 2
+
+
+def test_runner_dp_single_prompt_generate():
+    """Batches not divisible by dp (e.g. chat's batch of 1 under --dp 2)
+    replicate over the data axis instead of crashing on pjit divisibility
+    (round-2 code-review regression)."""
+    ref = ModelRunner.random_init("llada-tiny", seed=11)
+    sh = ModelRunner.random_init("llada-tiny", seed=11, dp=2, tp=4)
+    kw = dict(gen_length=8, steps=4, block_length=4)
+    a = ref.generate("prove 1 + 1 = 2", **kw)
+    b = sh.generate("prove 1 + 1 = 2", **kw)
+    np.testing.assert_array_equal(a.token_ids, b.token_ids)
+
+    # odd batch of 3 under dp=2 also works (replicated)
+    r3 = sh.generate_batch(["a", "bb", "ccc"], **kw)
+    assert len(r3) == 3

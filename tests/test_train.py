@@ -272,3 +272,23 @@ def test_chunked_normal_matches_moments():
     np.testing.assert_allclose(a.mean(), 0.0, atol=0.01)
     # rows from different chunks are not duplicated
     assert (a[0] != a[-1]).any()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_trainer_sharded_eval_tail_batch(tmp_path):
+    """Eval keeps the last partial batch (HF semantics); under dp>1 a tail
+    not divisible by dp must evaluate instead of crashing (round-2
+    code-review regression)."""
+    cfg = get_config("llada-tiny", dtype="float32").replace(pad_token_id=0)
+    rng = np.random.default_rng(3)
+    ds = _tiny_dataset(cfg, 8, rng)
+    tc = TrainConfig(output_dir=str(tmp_path / "t"), num_epochs=1,
+                     batch_size=2, grad_accum=2, learning_rate=1e-3,
+                     warmup_steps=1, logging_steps=1, eval_steps=2,
+                     max_length=32, bucket=32, seed=0, dp=2, tp=4)
+    trainer = Trainer(cfg, init_params(cfg, jax.random.key(4)), tc, ds,
+                      eval_dataset=ds[:5])  # 5 rows -> tail batch of 1
+    final = trainer.train()
+    assert final["status"] == "completed"
+    evals = [l["eval_loss"] for l in trainer.training_logs if "eval_loss" in l]
+    assert evals and all(np.isfinite(evals))
