@@ -65,6 +65,10 @@ def build_parser():
     p.add_argument("--tp", type=int, default=1,
                    help="Tensor-parallel mesh axis (params shard "
                         "megatron-style; MoE experts ride this axis)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="Sequence-parallel mesh axis (ring attention; "
+                        "activations shard over the sequence for "
+                        "long-context runs — no reference analogue)")
     return p
 
 
@@ -135,6 +139,7 @@ def main(argv=None):
         remat=args.remat,
         dp=args.dp,
         tp=args.tp,
+        sp=args.sp,
     )
     trainer = Trainer(cfg, params, tc, tokenized_train,
                       eval_dataset=tokenized_val, tokenizer=tokenizer)

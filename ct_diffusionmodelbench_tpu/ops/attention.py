@@ -87,6 +87,26 @@ def attention(
     implementation — the Pallas kernel is specialized for the bidirectional
     diffusion hot loop.
     """
+    if not causal:
+        # Sequence-parallel meshes take the ring path regardless of impl:
+        # only the ring keeps the sequence sharded through attention (any
+        # dense impl would force GSPMD to all-gather the full S on-chip,
+        # defeating the point of the seq axis).
+        from ct_diffusionmodelbench_tpu.parallel.mesh import (
+            current_mesh, seq_axis_size)
+
+        mesh = current_mesh()
+        sp = seq_axis_size(mesh)
+        if sp > 1:
+            from ct_diffusionmodelbench_tpu.ops.ring_attention import ring_attention
+            from ct_diffusionmodelbench_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            b, s, h, _ = q.shape
+            kv = k.shape[2]
+            tp = mesh.shape[MODEL_AXIS]
+            if (s % sp == 0 and b % mesh.shape[DATA_AXIS] == 0
+                    and h % tp == 0 and kv % tp == 0):
+                return ring_attention(q, k, v, mask=mask, mesh=mesh)
     if impl == "auto":
         # Measured on v5e (llada-2b, fused sampler): XLA's fused attention
         # ties or beats the standalone Pallas kernel up to S≈1280 — the

@@ -3,6 +3,7 @@ from ct_diffusionmodelbench_tpu.parallel.mesh import (
     use_mesh,
     current_mesh,
     init_distributed,
+    seq_axis_size,
 )
 from ct_diffusionmodelbench_tpu.parallel.sharding import (
     param_specs,

@@ -22,6 +22,7 @@ from typing import Optional
 import jax
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 AXES = (DATA_AXIS, MODEL_AXIS)
 
@@ -29,22 +30,43 @@ _current_mesh: contextvars.ContextVar[Optional[jax.sharding.Mesh]] = \
     contextvars.ContextVar("ctdb_mesh", default=None)
 
 
-def make_mesh(data: int = 1, model: Optional[int] = None) -> jax.sharding.Mesh:
-    """Build the (data, model) mesh.  ``model=None`` → all remaining devices."""
+def make_mesh(data: int = 1, model: Optional[int] = None,
+              seq: int = 1) -> jax.sharding.Mesh:
+    """Build the (data[, seq], model) mesh.
+
+    ``model=None`` → all remaining devices.  ``seq > 1`` inserts a ``seq``
+    axis between ``data`` and ``model`` for ring-attention context
+    parallelism (ops/ring_attention.py); with ``seq == 1`` the mesh stays
+    2-axis so every existing (data, model) sharding is unchanged.
+    """
     n = len(jax.devices())
     if model is None:
-        if n % data:
-            raise ValueError(f"{n} devices not divisible by data={data}")
-        model = n // data
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} needs {data*model} devices, have {n}")
+        if n % (data * seq):
+            raise ValueError(
+                f"{n} devices not divisible by data={data} x seq={seq}")
+        model = n // (data * seq)
+    need = data * seq * model
+    if need > n:
+        raise ValueError(
+            f"mesh {data}x{seq}x{model} needs {need} devices, have {n}")
+    if seq == 1:
+        shape, axes = (data, model), AXES
+    else:
+        shape, axes = (data, seq, model), (DATA_AXIS, SEQ_AXIS, MODEL_AXIS)
     # Auto axis types = classic GSPMD: XLA propagates intermediate shardings
     # and inserts the collectives (jax 0.9 defaults to Explicit, which
     # rejects e.g. vocab-sharded embedding gathers without manual out
     # shardings).
-    auto = (jax.sharding.AxisType.Auto,) * len(AXES)
-    return jax.make_mesh((data, model), AXES, axis_types=auto,
-                         devices=jax.devices()[: data * model])
+    auto = (jax.sharding.AxisType.Auto,) * len(axes)
+    return jax.make_mesh(shape, axes, axis_types=auto,
+                         devices=jax.devices()[:need])
+
+
+def seq_axis_size(mesh: Optional[jax.sharding.Mesh]) -> int:
+    """Ring size of the mesh's ``seq`` axis (1 when absent/no mesh)."""
+    if mesh is None:
+        return 1
+    return dict(mesh.shape).get(SEQ_AXIS, 1)
 
 
 def current_mesh() -> Optional[jax.sharding.Mesh]:

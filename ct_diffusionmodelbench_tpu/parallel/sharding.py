@@ -29,7 +29,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ct_diffusionmodelbench_tpu.models.config import ModelConfig
 from ct_diffusionmodelbench_tpu.models.transformer import forward
-from ct_diffusionmodelbench_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, use_mesh
+from ct_diffusionmodelbench_tpu.parallel.mesh import (
+    DATA_AXIS, MODEL_AXIS, SEQ_AXIS, use_mesh)
 
 
 def param_specs(cfg: ModelConfig) -> dict:
@@ -107,15 +108,22 @@ def make_sharded_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
 
     jitted = {}  # keyed by (logit_length or None, batch_divisible_by_dp)
 
-    def _build(logit_length, batch_sharded):
+    def _build(logit_length, batch_sharded, seq_sharded=False):
         # Batches not divisible by the data axis (single-prompt chat under
         # --dp, eval tail batches) replicate over 'data' instead of
         # sharding — TP stays active, DP is simply unused for that call.
         # Forcing P('data') unconditionally raised a pjit divisibility
         # error and killed the run.
         batch_spec = P(DATA_AXIS) if batch_sharded else P()
-        dshard = NamedSharding(mesh, P(*batch_spec, None))
-        logits_shard = NamedSharding(mesh, P(*batch_spec, None, MODEL_AXIS))
+        # Sequence-parallel meshes keep the sequence dim sharded through the
+        # forward (ring attention handles the cross-shard softmax).
+        seq_ax = SEQ_AXIS if seq_sharded else None
+        dshard = NamedSharding(mesh, P(*batch_spec, seq_ax))
+        # Sliced-head outputs ([B, logit_length, V]) are block-sized, not
+        # ring-aligned — replicate their seq dim.
+        logits_shard = NamedSharding(
+            mesh, P(*batch_spec, seq_ax if logit_length is None else None,
+                    MODEL_AXIS))
 
         @partial(
             jax.jit,
@@ -132,10 +140,13 @@ def make_sharded_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
             return logits, aux
         return fn
 
+    sp = dict(mesh.shape).get(SEQ_AXIS, 1)
+
     def wrapper(params, input_ids, attn_mask=None, logit_start=None,
                 logit_length=None):
         ll = logit_length if logit_start is not None else None
-        key = (ll, input_ids.shape[0] % dp == 0)
+        key = (ll, input_ids.shape[0] % dp == 0,
+               sp > 1 and input_ids.shape[1] % sp == 0)
         if key not in jitted:
             jitted[key] = _build(*key)
         return jitted[key](params, input_ids, attn_mask,

@@ -69,12 +69,15 @@ class TrainConfig:
     bucket: int = 64
     remat: bool = False
     drop_last: bool = True
-    # Mesh axes (dp*tp > 1 shards the run: batch over 'data', params
-    # megatron-style over 'model').  First-class replacement for the
-    # reference's implicit 8-GPU DDP (Training/Training_0to1k/train.py:459,
-    # "effective batch 32" = 1 x 8 GPUs x grad-accum 4).
+    # Mesh axes (dp*tp*sp > 1 shards the run: batch over 'data', params
+    # megatron-style over 'model', sequence over 'seq' via ring attention).
+    # First-class replacement for the reference's implicit 8-GPU DDP
+    # (Training/Training_0to1k/train.py:459, "effective batch 32" = 1 x 8
+    # GPUs x grad-accum 4); sp has no reference analogue (SURVEY §2.4 P5)
+    # and exists for long-context runs beyond one chip's activation memory.
     dp: int = 1
     tp: int = 1
+    sp: int = 1
 
 
 def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
@@ -189,17 +192,19 @@ class Trainer:
         self.eval_dataset = list(eval_dataset) if eval_dataset else None
         self.tokenizer = tokenizer
 
-        # DP x TP mesh: shard params megatron-style and swap in the sharded
-        # forward; batches are placed with the 'data' axis sharded below.
+        # DP x SP x TP mesh: shard params megatron-style and swap in the
+        # sharded forward; batches are placed with the 'data' axis sharded
+        # (and the sequence over 'seq' when sp > 1) below.
         self.mesh = None
-        if train_cfg.dp * train_cfg.tp > 1:
+        if train_cfg.dp * train_cfg.tp * train_cfg.sp > 1:
             from ct_diffusionmodelbench_tpu.parallel import (
                 make_mesh, make_sharded_forward, shard_params)
             if train_cfg.batch_size % train_cfg.dp:
                 raise ValueError(
                     f"batch_size={train_cfg.batch_size} must divide by "
                     f"dp={train_cfg.dp}")
-            self.mesh = make_mesh(data=train_cfg.dp, model=train_cfg.tp)
+            self.mesh = make_mesh(data=train_cfg.dp, model=train_cfg.tp,
+                                  seq=train_cfg.sp)
             params = shard_params(model_cfg, params, self.mesh)
             if forward_fn is None:
                 forward_fn = make_sharded_forward(model_cfg, self.mesh,
@@ -250,20 +255,24 @@ class Trainer:
 
     def _device_batch(self, ids, plens, stacked=True):
         """Place a batch on the mesh: microbatch (or batch) dim sharded over
-        'data', sequence replicated — the dryrun/SURVEY §5 layout."""
+        'data', sequence over 'seq' when sp > 1 and the padded length
+        divides (the ring attention path keeps it sharded through the
+        forward), replicated otherwise — the dryrun/SURVEY §5 layout."""
         ids, plens = jnp.asarray(ids), jnp.asarray(plens)
         if self.mesh is None:
             return ids, plens
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from ct_diffusionmodelbench_tpu.parallel.mesh import DATA_AXIS
+        from ct_diffusionmodelbench_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+        sp = self.cfg.sp
+        seq_ax = SEQ_AXIS if sp > 1 and ids.shape[-1] % sp == 0 else None
         if stacked:  # [A, B, L] grad-accum stack
-            s_ids, s_pl = P(None, DATA_AXIS, None), P(None, DATA_AXIS)
+            s_ids, s_pl = P(None, DATA_AXIS, seq_ax), P(None, DATA_AXIS)
         else:        # [B, L] eval batch
             if ids.shape[0] % self.cfg.dp:
                 # partial tail batch (eval keeps it, HF semantics) — leave
                 # uncommitted and let GSPMD place it
                 return ids, plens
-            s_ids, s_pl = P(DATA_AXIS, None), P(DATA_AXIS)
+            s_ids, s_pl = P(DATA_AXIS, seq_ax), P(DATA_AXIS)
         return (jax.device_put(ids, NamedSharding(self.mesh, s_ids)),
                 jax.device_put(plens, NamedSharding(self.mesh, s_pl)))
 

@@ -213,6 +213,35 @@ def test_trainer_sharded_matches_single_device(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_trainer_sequence_parallel_matches_single_device(tmp_path):
+    """dp=2 x sp=2 x tp=2 (ring attention over the 'seq' axis) through the
+    user-facing Trainer: loss trajectory must match the single-device run.
+    SP has no reference analogue (SURVEY §2.4 P5) — this pins the TPU-native
+    ring path end-to-end through training."""
+    cfg = get_config("llada-tiny", dtype="float32").replace(pad_token_id=0)
+    rng = np.random.default_rng(4)
+    ds = _tiny_dataset(cfg, 16, rng)
+    base = dict(num_epochs=1, batch_size=2, grad_accum=2, learning_rate=1e-3,
+                warmup_steps=2, logging_steps=1, eval_steps=0, max_length=32,
+                bucket=32, seed=0, variable_length=False)
+
+    t_ref = Trainer(cfg, init_params(cfg, jax.random.key(0)),
+                    TrainConfig(output_dir=str(tmp_path / "ref"), **base), ds)
+    t_ref.train()
+
+    t_sp = Trainer(cfg, init_params(cfg, jax.random.key(0)),
+                   TrainConfig(output_dir=str(tmp_path / "sp"), dp=2, sp=2,
+                               tp=2, **base), ds)
+    assert t_sp.mesh is not None and dict(t_sp.mesh.shape)["seq"] == 2
+    t_sp.train()
+
+    ref_losses = [l["loss"] for l in t_ref.training_logs if "loss" in l]
+    sp_losses = [l["loss"] for l in t_sp.training_logs if "loss" in l]
+    assert len(ref_losses) == len(sp_losses) >= 2
+    np.testing.assert_allclose(sp_losses, ref_losses, rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_trainer_sharded_moe_runs(tmp_path):
     """Expert-parallel MoE training through the Trainer (experts ride the
     'model' axis)."""
