@@ -1,0 +1,205 @@
+"""Pipeline parallelism — GPipe-style microbatched stages over a mesh axis.
+
+The reference's closest analogue is ``device_map="auto"`` sequential layer
+placement (Training/Training_0to1k/train.py:116-122) — layers spread across
+GPUs but only ONE device computes at a time.  This module is the real thing,
+built the TPU way on top of this repo's stacked-layer parameter pytree
+(models/transformer.py): the leading ``[L, ...]`` layer axis of every block
+leaf shards over a ``stage`` mesh axis, so each device physically holds only
+its own L/S layers, and a ``shard_map`` runs the classic GPipe schedule —
+``M`` microbatches flow through ``S`` stages over ``M + S - 1`` ticks, with a
+neighbor ``ppermute`` handing activations to the next stage each tick.  Fill
+and drain bubbles execute masked garbage (standard GPipe; efficiency
+``M / (M + S - 1)``).
+
+Differentiable end-to-end (scan + ppermute + psum), so ``jax.grad`` through
+``pp_forward`` yields the reverse pipeline schedule automatically — the
+module trains, not just serves.
+
+Composability: the mesh is ``(data, stage)`` — batch sharding over ``data``
+composes freely since the pipeline is batch-elementwise.  TP-within-stage is
+out of scope here (use the megatron rules in parallel/sharding.py when the
+model fits per-stage memory without it).
+
+MoE aux loss note: the load-balancing loss is computed per microbatch and
+averaged, where the dense forward computes it over the full batch — equal in
+expectation, not bitwise (the standard GPipe approximation); tests pin the
+logits exactly and the aux loss to a tolerance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ct_diffusionmodelbench_tpu.models.config import ModelConfig
+from ct_diffusionmodelbench_tpu.models.layers import rms_norm, rope_angles
+from ct_diffusionmodelbench_tpu.models.transformer import _block_forward
+from ct_diffusionmodelbench_tpu.parallel.mesh import DATA_AXIS
+
+STAGE_AXIS = "stage"
+
+
+def make_pp_mesh(stages: int, data: int = 1) -> jax.sharding.Mesh:
+    """(data, stage) mesh for pipeline runs."""
+    n = len(jax.devices())
+    if data * stages > n:
+        raise ValueError(f"mesh {data}x{stages} needs {data*stages} devices, have {n}")
+    auto = (jax.sharding.AxisType.Auto,) * 2
+    return jax.make_mesh((data, stages), (DATA_AXIS, STAGE_AXIS),
+                         axis_types=auto, devices=jax.devices()[: data * stages])
+
+
+def pp_param_specs(cfg: ModelConfig) -> dict:
+    """Blocks shard their leading layer axis over 'stage'; everything else
+    (embed, final norm, LM head) replicates — stages 0 and S-1 use them."""
+    blocks = {k: P(STAGE_AXIS) for k in (
+        "attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
+        "bq", "bk", "bv", "q_norm", "k_norm",
+        "router", "we_gate", "we_up", "we_down",
+        "ws_gate", "ws_up", "ws_down",
+        "w_gate", "w_up", "w_down",
+    )}
+    specs = {"embed": P(), "blocks": blocks, "final_norm": P()}
+    return specs
+
+
+def shard_params_pp(cfg: ModelConfig, params: dict,
+                    mesh: jax.sharding.Mesh) -> dict:
+    specs = pp_param_specs(cfg)
+    blocks = {k: jax.device_put(v, NamedSharding(mesh, specs["blocks"][k]))
+              for k, v in params["blocks"].items()}
+    out = {
+        "embed": jax.device_put(params["embed"], NamedSharding(mesh, P())),
+        "blocks": blocks,
+        "final_norm": jax.device_put(params["final_norm"],
+                                     NamedSharding(mesh, P())),
+    }
+    if "lm_head" in params:
+        out["lm_head"] = jax.device_put(params["lm_head"],
+                                        NamedSharding(mesh, P()))
+    return out
+
+
+def make_pp_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
+                    num_microbatches: int, remat: bool = False):
+    """Build ``f(params, input_ids) -> (logits, aux)`` running the block
+    stack as a GPipe pipeline over the mesh's 'stage' axis.
+
+    Constraints (checked): num_layers % stages == 0, batch % (data *
+    num_microbatches) == 0.  No attn_mask support in v1 (diffusion batches
+    are right-padded to a block-aligned length anyway); samplers that need
+    ragged prompts use the TP serving path instead.
+    """
+    stages = mesh.shape[STAGE_AXIS]
+    m = num_microbatches
+    if cfg.num_layers % stages:
+        raise ValueError(
+            f"num_layers={cfg.num_layers} must divide by stages={stages}")
+
+    # Dispatch attention directly inside the stage body (current_mesh() is
+    # deliberately NOT set here: the mesh axes are already manual inside
+    # shard_map, and the dispatcher's shard_map wrappers must not nest).
+    stage_cfg = cfg if cfg.attn_impl != "auto" else cfg.replace(
+        attn_impl="reference" if jax.default_backend() != "tpu" else "auto")
+
+    block_fn = partial(_block_forward, stage_cfg)
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+
+    def run_local_layers(blocks_local, x, cos, sin):
+        def body(carry, lp):
+            x, aux = carry
+            x, aux_l = block_fn(x, lp, cos, sin, None)
+            return (x, aux + aux_l), None
+        (x, aux), _ = jax.lax.scan(
+            body, (x, jnp.zeros((), jnp.float32)), blocks_local)
+        return x, aux
+
+    def stage_loop(blocks_local, xs, cos, sin):
+        """Per-device GPipe schedule.  xs: [M, mb, S, D] microbatch stack
+        (replicated over 'stage'); blocks_local: this stage's layers."""
+        sid = jax.lax.axis_index(STAGE_AXIS)
+        ticks = m + stages - 1
+        fwd_perm = [(i, i + 1) for i in range(stages - 1)]
+
+        recv0 = jnp.zeros_like(xs[0])
+        out0 = jnp.zeros_like(xs)
+        aux0 = jnp.zeros((), jnp.float32)
+
+        def tick(carry, t):
+            recv, outputs, aux = carry
+            ridx = jnp.clip(t, 0, m - 1)
+            x_in = jnp.where(sid == 0,
+                             jax.lax.dynamic_index_in_dim(xs, ridx, 0,
+                                                          keepdims=False),
+                             recv)
+            y, aux_t = run_local_layers(blocks_local, x_in, cos, sin)
+            valid = jnp.logical_and(sid <= t, t < sid + m)
+            aux = aux + jnp.where(valid, aux_t, 0.0)
+            # Last stage banks its result at microbatch index t-(S-1);
+            # non-final ticks (and every other stage) re-write the existing
+            # row so the predicated update is shape-static.
+            widx = jnp.clip(t - (stages - 1), 0, m - 1)
+            old = jax.lax.dynamic_index_in_dim(outputs, widx, 0,
+                                               keepdims=False)
+            upd = jnp.where(t >= stages - 1, y, old)
+            outputs = jax.lax.dynamic_update_index_in_dim(outputs, upd,
+                                                          widx, 0)
+            recv = jax.lax.ppermute(y, STAGE_AXIS, fwd_perm)
+            return (recv, outputs, aux), None
+
+        (recv, outputs, aux), _ = jax.lax.scan(
+            tick, (recv0, out0, aux0), jnp.arange(ticks))
+        # Only the last stage's banked outputs are real: zero the rest and
+        # all-reduce (one [B, S, D] psum — final hidden states, not logits).
+        last = (sid == stages - 1).astype(outputs.dtype)
+        outputs = jax.lax.psum(outputs * last, STAGE_AXIS)
+        # Sum over stages (each holds distinct layers); mean over data
+        # shards (each saw distinct rows) so the P() out-spec's replication
+        # assumption actually holds under DP.
+        aux = jax.lax.psum(aux, STAGE_AXIS)
+        aux = jax.lax.pmean(aux, DATA_AXIS)
+        return outputs, aux
+
+    smap = jax.shard_map(
+        stage_loop,
+        mesh=mesh,
+        in_specs=(P(STAGE_AXIS), P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(None, DATA_AXIS), P()),
+        check_vma=False,
+    )
+
+    def pp_forward(params, input_ids):
+        b, s = input_ids.shape
+        if b % m:
+            raise ValueError(f"batch={b} must divide by microbatches={m}")
+        mb = b // m
+        x = jnp.take(params["embed"], input_ids, axis=0)
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None],
+                                     (b, s))
+        cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+
+        xs = x.reshape(m, mb, s, -1)
+        cos_mb = cos.reshape(m, mb, s, -1)[0]
+        sin_mb = sin.reshape(m, mb, s, -1)[0]
+        hidden, aux = smap(params["blocks"], xs, cos_mb, sin_mb)
+        hidden = hidden.reshape(b, s, -1)
+
+        hidden = rms_norm(hidden, params["final_norm"], cfg.norm_eps)
+        head = params.get("lm_head")
+        if head is None:
+            head = params["embed"].T
+        logits = jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+        if cfg.logit_shift:
+            logits = jnp.concatenate([logits[:, :1], logits[:, :-1]], axis=1)
+        # Mean over layers like transformer.forward; microbatch aux values
+        # are additionally averaged (GPipe approximation, see module doc).
+        aux = aux / max(cfg.num_layers, 1) / m
+        return logits, aux
+
+    return pp_forward
