@@ -66,6 +66,42 @@ def _round_up_arr(x, m):
     return (x + m - 1) // m * m
 
 
+def counting_layout(topk_idx: jnp.ndarray, e: int, tile_m: int = TILE_M):
+    """Expert-aligned padded row layout WITHOUT a sort.
+
+    ``jnp.argsort`` over the N*K routing slots is a bitonic sort on TPU —
+    measured as the dominant per-layer cost of the grouped path at the MoE
+    bench shape (M=20480: the sort alone outweighs the expert matmuls).
+    Routing doesn't need a sort: a one-hot cumsum gives every slot its rank
+    within its expert (stable counting sort), which IS its padded-row offset.
+
+    topk_idx: [N, K] int32 → returns
+      dest:        [N*K]  padded destination row of each routing slot
+                          (slot order = the natural (token, k) order),
+      tile_expert: [m_pad/tile_m] expert id owning each row tile,
+      group_sizes: [E] int32,
+      m_pad:       static padded row count.
+    """
+    flat = topk_idx.reshape(-1).astype(jnp.int32)            # [M]
+    m = flat.shape[0]
+    m_pad = _round_up(m, tile_m) + e * tile_m                # static worst case
+
+    onehot = flat[:, None] == jnp.arange(e, dtype=jnp.int32)[None, :]
+    csum = jnp.cumsum(onehot.astype(jnp.int32), axis=0)      # [M, E]
+    rank = jnp.sum(jnp.where(onehot, csum - 1, 0), axis=1)   # [M]
+    sizes = csum[-1]                                         # [E]
+
+    padded_sizes = _round_up_arr(sizes, tile_m)
+    pstarts = jnp.cumsum(padded_sizes) - padded_sizes        # [E]
+    dest = jnp.take(pstarts, flat) + rank                    # [M]
+
+    tile_start = jnp.arange(m_pad // tile_m, dtype=jnp.int32) * tile_m
+    pend = jnp.cumsum(padded_sizes)
+    tile_expert = jnp.searchsorted(pend, tile_start, side="right").astype(jnp.int32)
+    tile_expert = jnp.minimum(tile_expert, e - 1)
+    return dest, tile_expert, sizes, m_pad
+
+
 def _gmm_kernel(tile_expert_ref, x_ref, w_ref, o_ref):
     o_ref[:, :] = jax.lax.dot_general(
         x_ref[:, :], w_ref[0],
@@ -211,27 +247,23 @@ def grouped_expert_ffn_pallas(
     e = we_gate.shape[0]
     m = n * k
 
-    flat_expert = topk_idx.reshape(-1)
-    order = jnp.argsort(flat_expert, stable=True)
-    group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
-
-    dest, tile_expert, m_pad = padded_layout(group_sizes, m, tile_m)
+    # Sort-free layout: counting_layout maps every routing slot straight to
+    # its padded row (argsort was the dominant per-layer cost at M=20480).
+    dest, tile_expert, _, m_pad = counting_layout(topk_idx, e, tile_m)
 
     # All row movement is GATHERS — TPU scatters of wide rows are orders of
     # magnitude slower (measured ~25 ms vs ~1 ms at [16k, 2048] bf16 on
-    # v5e).  Only two tiny 1-D int scatters build the index maps.
-    src = jnp.full((m_pad,), 0, jnp.int32).at[dest].set(
-        (order // k).astype(jnp.int32))                 # padded row → token
+    # v5e).  Only one tiny 1-D int scatter builds the index map.
+    token_of_slot = (jnp.arange(m, dtype=jnp.int32) // k)
+    src = jnp.zeros((m_pad,), jnp.int32).at[dest].set(
+        token_of_slot)                                  # padded row → token
     xs_padded = jnp.take(x, src, axis=0)                # pad rows: dup of a
     #                                                     real row, weight 0
     h = grouped_gateup_padded(xs_padded, we_gate, we_up, tile_expert, tile_m)
     out_padded = grouped_matmul_padded(h, we_down, tile_expert, tile_m)
 
-    # slot (original order) → its padded row, then gather + reshape-sum.
-    inv = jnp.zeros((m,), jnp.int32).at[order].set(
-        jnp.arange(m, dtype=jnp.int32))                 # slot → sorted pos
-    slot_rows = jnp.take(dest, inv)                     # slot → padded row
-    out_slots = jnp.take(out_padded, slot_rows, axis=0)
+    # slot (natural (token, k) order) → its padded row: gather + reshape-sum.
+    out_slots = jnp.take(out_padded, dest, axis=0)
     contrib = out_slots.astype(jnp.float32).reshape(n, k, d) \
         * topk_probs[..., None]
     return contrib.sum(axis=1).astype(x.dtype)
