@@ -46,14 +46,20 @@ def _t(call, reps=3):
 
 def time_loop(fn, args, iters=16, reps=3):
     """Seconds per op: fn(*args) chained ``iters`` times inside one jit
-    (output 0 feeds argument 0 so XLA cannot elide iterations)."""
+    (output 0 feeds argument 0 so XLA cannot elide iterations).
+
+    The jit returns a SCALAR: materializing the full op output would ship
+    MBs over the tunneled axon backend per rep and swamp the op time
+    (measured: a [2560, 2048] f32 transfer costs more than 10 fused MoE
+    layers)."""
 
     @jax.jit
     def run(args):
         def body(_, c):
             out = fn(*c)
             return (out.astype(c[0].dtype),) + c[1:]
-        return jax.lax.fori_loop(0, iters, body, args)[0]
+        return jax.lax.fori_loop(0, iters, body, args)[0].sum() \
+            .astype(jnp.float32)
 
     return _t(lambda: run(args), reps) / iters
 

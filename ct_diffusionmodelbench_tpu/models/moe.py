@@ -60,10 +60,12 @@ def _experts_dense(x, topk_probs, topk_idx, we_gate, we_up, we_down):
     return jnp.einsum("ned,ne->nd", out, combine.astype(out.dtype)).astype(x.dtype)
 
 
-def _experts_grouped(x, topk_probs, topk_idx, we_gate, we_up, we_down):
+def _experts_grouped(x, topk_probs, topk_idx, we_gate, we_up, we_down,
+                     layer_index=None):
     from ct_diffusionmodelbench_tpu.ops.grouped_gemm import grouped_expert_ffn
 
-    return grouped_expert_ffn(x, topk_probs, topk_idx, we_gate, we_up, we_down)
+    return grouped_expert_ffn(x, topk_probs, topk_idx, we_gate, we_up,
+                              we_down, layer_index=layer_index)
 
 
 def moe_block(
@@ -73,8 +75,14 @@ def moe_block(
     top_k: int,
     norm_topk: bool,
     impl: Literal["dense", "grouped", "auto"] = "auto",
+    layer_index: jnp.ndarray = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Apply the MoE FFN to x: [N, D] → ([N, D], aux_loss scalar)."""
+    """Apply the MoE FFN to x: [N, D] → ([N, D], aux_loss scalar).
+
+    ``layer_index`` (with 4-D ``we_*`` stacks in params) keeps the full
+    stacked-layer expert tensors intact: the grouped Pallas kernels index
+    them directly via a prefetched layer id, avoiding a per-layer HBM slice
+    copy under the forward's lax.scan (transformer.py)."""
     topk_probs, topk_idx, full_probs = router_probs(
         x, params["router"], top_k, norm_topk
     )
@@ -88,8 +96,17 @@ def moe_block(
             impl = "dense"
         else:
             impl = "grouped" if jax.default_backend() == "tpu" else "dense"
-    run = _experts_grouped if impl == "grouped" else _experts_dense
-    out = run(x, topk_probs, topk_idx, params["we_gate"], params["we_up"], params["we_down"])
+    we = [params["we_gate"], params["we_up"], params["we_down"]]
+    li = layer_index
+    if li is not None and we[0].ndim == 4 and impl == "dense":
+        # The one-hot einsum oracle needs per-layer 3-D tensors.
+        we = [jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+              for w in we]
+        li = None
+    if impl == "grouped":
+        out = _experts_grouped(x, topk_probs, topk_idx, *we, layer_index=li)
+    else:
+        out = _experts_dense(x, topk_probs, topk_idx, *we)
     if "ws_gate" in params:
         out = out + swiglu(x, params["ws_gate"], params["ws_up"], params["ws_down"])
     aux = load_balancing_loss(full_probs, topk_idx, params["router"].shape[-1])

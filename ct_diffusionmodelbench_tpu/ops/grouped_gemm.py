@@ -50,26 +50,35 @@ def grouped_expert_ffn(
     x: jnp.ndarray,          # [N, D]
     topk_probs: jnp.ndarray,  # [N, K] f32
     topk_idx: jnp.ndarray,    # [N, K] i32
-    we_gate: jnp.ndarray,     # [E, D, Fm]
-    we_up: jnp.ndarray,       # [E, D, Fm]
-    we_down: jnp.ndarray,     # [E, Fm, D]
+    we_gate: jnp.ndarray,     # [E, D, Fm] (or [L, E, D, Fm] + layer_index)
+    we_up: jnp.ndarray,
+    we_down: jnp.ndarray,     # [E, Fm, D] (or [L, E, Fm, D])
+    layer_index: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    # Default on TPU: the Pallas kernel for large token counts (2.7x faster
-    # than ragged_dot at N=2048,K=8,E=64,D=2048,Fm=1408 bf16 on v5e: 48.5 ms
-    # vs 131.2 ms), ragged_dot for small ones where runtimes tie and the
-    # Pallas path compiles ~5x slower (single-prompt inference).
+    # Default on TPU: the Pallas kernel at every size — measured faster than
+    # ragged_dot at both the batched bench shape (3.2 vs 7.7 ms/layer at
+    # 20480 slots) and the single-sample shape (1.1 vs 3.7 ms at 2560 slots,
+    # tools/profile_moe.py), and it is the only backend that can consume the
+    # stacked [L, E, D, Fm] weights without a per-layer slice copy.
     # CTDB_GROUPED_GEMM=pallas|ragged forces a backend.
     choice = os.environ.get("CTDB_GROUPED_GEMM")
     if choice is None:
-        big = x.shape[0] * topk_idx.shape[1] >= 4096
-        choice = "pallas" if (jax.default_backend() == "tpu" and big) else "ragged"
+        choice = "pallas" if jax.default_backend() == "tpu" else "ragged"
     if choice == "pallas":
         from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import (
             grouped_expert_ffn_pallas,
         )
 
         return grouped_expert_ffn_pallas(x, topk_probs, topk_idx,
-                                         we_gate, we_up, we_down)
+                                         we_gate, we_up, we_down,
+                                         layer_index=layer_index)
+
+    if layer_index is not None and we_gate.ndim == 4:
+        # ragged_dot has no layer-indexed form — slice (costs the stack
+        # copy the Pallas path avoids; only the small-token regime).
+        we_gate, we_up, we_down = (
+            jax.lax.dynamic_index_in_dim(w, layer_index, 0, keepdims=False)
+            for w in (we_gate, we_up, we_down))
 
     num_experts = we_gate.shape[0]
     dest, token_of, group_sizes = _sort_by_expert(topk_idx, num_experts)

@@ -20,6 +20,7 @@ measurements pick the winner per shape.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -102,58 +103,87 @@ def counting_layout(topk_idx: jnp.ndarray, e: int, tile_m: int = TILE_M):
     return dest, tile_expert, sizes, m_pad
 
 
-def _gmm_kernel(tile_expert_ref, x_ref, w_ref, o_ref):
+def _gmm_kernel(*refs):
+    # (te_ref[, li_ref], x_ref, w_ref, o_ref) — w block is [1, D, TN] or
+    # [1, 1, D, TN] when layer-stacked.
+    x_ref, w_ref, o_ref = refs[-3:]
     o_ref[:, :] = jax.lax.dot_general(
-        x_ref[:, :], w_ref[0],
+        x_ref[:, :], w_ref[0] if w_ref.ndim == 3 else w_ref[0, 0],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
-def _gmm_gateup_kernel(tile_expert_ref, x_ref, wg_ref, wu_ref, h_ref):
+def _gmm_gateup_kernel(*refs):
     """Fused gate/up/SiLU: one x tile feeds two expert matmuls and the
     activation runs on the f32 accumulators in VMEM — the gate and up
     intermediates never round-trip HBM."""
+    x_ref, wg_ref, wu_ref, h_ref = refs[-4:]
+    wg = wg_ref[0] if wg_ref.ndim == 3 else wg_ref[0, 0]
+    wu = wu_ref[0] if wu_ref.ndim == 3 else wu_ref[0, 0]
     gate = jax.lax.dot_general(
-        x_ref[:, :], wg_ref[0], (((1,), (0,)), ((), ())),
+        x_ref[:, :], wg, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     up = jax.lax.dot_general(
-        x_ref[:, :], wu_ref[0], (((1,), (0,)), ((), ())),
+        x_ref[:, :], wu, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     h_ref[:, :] = (jax.nn.silu(gate) * up).astype(h_ref.dtype)
 
 
+def _weight_specs(w_ndim: int, d: int, tile_n: int):
+    """BlockSpec + scalar-prefetch count for a weight operand.
+
+    3-D [E, D, F]: expert routed via the prefetched ``tile_expert``.
+    4-D [L, E, D, F] (the models' stacked-layer pytree): the layer index
+    arrives as a SECOND prefetched scalar and feeds the index map — the
+    kernel reads its layer's expert blocks straight out of the full stack,
+    so the forward's lax.scan never materializes a per-layer slice (an
+    HBM->HBM copy of the whole expert stack, measured +3.96 ms/layer at the
+    bench shape — tools/probe_slice_copy.py)."""
+    if w_ndim == 3:
+        return 1, pl.BlockSpec((1, d, tile_n), lambda j, i, te: (te[i], 0, j),
+                               memory_space=pltpu.VMEM)
+    return 2, pl.BlockSpec((1, 1, d, tile_n),
+                           lambda j, i, te, li: (li[0], te[i], 0, j),
+                           memory_space=pltpu.VMEM)
+
+
 def grouped_gateup_padded(
     x_padded: jnp.ndarray,     # [M_pad, D]
-    we_gate: jnp.ndarray,      # [E, D, F]
-    we_up: jnp.ndarray,        # [E, D, F]
+    we_gate: jnp.ndarray,      # [E, D, F] or [L, E, D, F] with layer_index
+    we_up: jnp.ndarray,
     tile_expert: jnp.ndarray,  # [M_pad / tile_m] int32
     tile_m: int = TILE_M,
+    layer_index: Optional[jnp.ndarray] = None,  # [] or [1] int32
 ) -> jnp.ndarray:
     """silu(x @ we_gate[e]) * (x @ we_up[e]) on the padded grouped layout."""
     m_pad, d = x_padded.shape
-    e, _, f = we_gate.shape
+    e, _, f = we_gate.shape[-3:]
+    stacked = we_gate.ndim == 4
     f_pad = _round_up(f, TILE_N)
     if f_pad != f:
+        if stacked:
+            # Padding a [L, E, D, F] stack would copy the whole thing;
+            # stacked mode requires lane-aligned F (true for every preset).
+            raise ValueError(f"stacked gate/up needs F % {TILE_N} == 0, got {f}")
         we_gate = jnp.pad(we_gate, ((0, 0), (0, 0), (0, f_pad - f)))
         we_up = jnp.pad(we_up, ((0, 0), (0, 0), (0, f_pad - f)))
     # Two weight blocks live at once — halve the per-block budget.
     tile_n = _pick_tile_n(f_pad, d, we_gate.dtype.itemsize, budget_bytes=4 << 20)
 
+    nsp, w_spec = _weight_specs(we_gate.ndim, d, tile_n)
+    x_spec = pl.BlockSpec((tile_m, d), lambda j, i, *s: (i, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((tile_m, tile_n), lambda j, i, *s: (i, j),
+                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=nsp,
         grid=(f_pad // tile_n, m_pad // tile_m),
-        in_specs=[
-            pl.BlockSpec((tile_m, d), lambda j, i, te: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, tile_n), lambda j, i, te: (te[i], 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, tile_n), lambda j, i, te: (te[i], 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_m, tile_n), lambda j, i, te: (i, j),
-                               memory_space=pltpu.VMEM),
+        in_specs=[x_spec, w_spec, w_spec],
+        out_specs=o_spec,
     )
+    scalars = (tile_expert,) if not stacked else (
+        tile_expert, jnp.asarray(layer_index, jnp.int32).reshape(1))
     out = pl.pallas_call(
         _gmm_gateup_kernel,
         grid_spec=grid_spec,
@@ -161,11 +191,11 @@ def grouped_gateup_padded(
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * d * f_pad,
             bytes_accessed=(x_padded.size + m_pad * f_pad) * x_padded.dtype.itemsize
-            + 2 * we_gate.size * we_gate.dtype.itemsize,
+            + 2 * e * d * f_pad * we_gate.dtype.itemsize,
             transcendentals=m_pad * f_pad,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(tile_expert, x_padded, we_gate, we_up)
+    )(*scalars, x_padded, we_gate, we_up)
     return out[:, :f]
 
 
@@ -183,19 +213,23 @@ def _pick_tile_n(f_pad: int, d: int, itemsize: int,
 
 def grouped_matmul_padded(
     x_padded: jnp.ndarray,    # [M_pad, D], rows tile-aligned per expert
-    w: jnp.ndarray,           # [E, D, F]
+    w: jnp.ndarray,           # [E, D, F] or [L, E, D, F] with layer_index
     tile_expert: jnp.ndarray,  # [M_pad / tile_m] int32
     tile_m: int = TILE_M,
     tile_n: int | None = None,
+    layer_index: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     m_pad, d = x_padded.shape
-    e, _, f = w.shape
+    e, _, f = w.shape[-3:]
+    stacked = w.ndim == 4
     if tile_n is None:
         f_pad = _round_up(f, TILE_N)
         tile_n = _pick_tile_n(f_pad, d, w.dtype.itemsize)  # divides f_pad
     else:
         f_pad = _round_up(f, tile_n)  # explicit tile_n: pad up to it
     if f_pad != f:
+        if stacked:
+            raise ValueError(f"stacked matmul needs F % {TILE_N} == 0, got {f}")
         w = jnp.pad(w, ((0, 0), (0, 0), (0, f_pad - f)))
 
     # Grid order (n, m) with m innermost: consecutive steps walk row tiles
@@ -204,18 +238,20 @@ def grouped_matmul_padded(
     # (The previous row-major (m, n) order re-fetched the expert weight tile
     # once per row tile — ~70 GB of redundant DMA per denoise step at the
     # llada-moe-7b bench shape, the dominant cost behind its 11% MFU.)
+    nsp, w_spec = _weight_specs(w.ndim, d, tile_n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=nsp,
         grid=(f_pad // tile_n, m_pad // tile_m),
         in_specs=[
-            pl.BlockSpec((tile_m, d), lambda j, i, te: (i, 0),
+            pl.BlockSpec((tile_m, d), lambda j, i, *s: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, tile_n), lambda j, i, te: (te[i], 0, j),
-                         memory_space=pltpu.VMEM),
+            w_spec,
         ],
-        out_specs=pl.BlockSpec((tile_m, tile_n), lambda j, i, te: (i, j),
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda j, i, *s: (i, j),
                                memory_space=pltpu.VMEM),
     )
+    scalars = (tile_expert,) if not stacked else (
+        tile_expert, jnp.asarray(layer_index, jnp.int32).reshape(1))
     out = pl.pallas_call(
         _gmm_kernel,
         grid_spec=grid_spec,
@@ -223,11 +259,11 @@ def grouped_matmul_padded(
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * d * f_pad,
             bytes_accessed=(x_padded.size + m_pad * f_pad) * x_padded.dtype.itemsize
-            + w.size * w.dtype.itemsize,
+            + e * d * f_pad * w.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(tile_expert, x_padded, w)
+    )(*scalars, x_padded, w)
     return out[:, :f]
 
 
@@ -235,16 +271,22 @@ def grouped_expert_ffn_pallas(
     x: jnp.ndarray,            # [N, D]
     topk_probs: jnp.ndarray,   # [N, K] f32
     topk_idx: jnp.ndarray,     # [N, K] i32
-    we_gate: jnp.ndarray,      # [E, D, Fm]
+    we_gate: jnp.ndarray,      # [E, D, Fm] or [L, E, D, Fm] + layer_index
     we_up: jnp.ndarray,
-    we_down: jnp.ndarray,      # [E, Fm, D]
+    we_down: jnp.ndarray,      # [E, Fm, D] or [L, E, Fm, D]
     tile_m: int = TILE_M,
+    layer_index: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full expert FFN on the padded grouped layout: one scatter in, three
-    grouped GEMMs, one weighted gather out."""
+    grouped GEMMs, one weighted gather out.
+
+    With 4-D weights + ``layer_index``, the kernels index the full stacked-
+    layer tensors directly (scalar-prefetched layer id) — the caller's
+    lax.scan over layers never slices the expert stack (an HBM->HBM copy,
+    +3.96 ms/layer at the bench shape — tools/probe_slice_copy.py)."""
     n, d = x.shape
     k = topk_idx.shape[1]
-    e = we_gate.shape[0]
+    e = we_gate.shape[-3]
     m = n * k
 
     # Sort-free layout: counting_layout maps every routing slot straight to
@@ -259,8 +301,10 @@ def grouped_expert_ffn_pallas(
         token_of_slot)                                  # padded row → token
     xs_padded = jnp.take(x, src, axis=0)                # pad rows: dup of a
     #                                                     real row, weight 0
-    h = grouped_gateup_padded(xs_padded, we_gate, we_up, tile_expert, tile_m)
-    out_padded = grouped_matmul_padded(h, we_down, tile_expert, tile_m)
+    h = grouped_gateup_padded(xs_padded, we_gate, we_up, tile_expert, tile_m,
+                              layer_index=layer_index)
+    out_padded = grouped_matmul_padded(h, we_down, tile_expert, tile_m,
+                                       layer_index=layer_index)
 
     # slot (natural (token, k) order) → its padded row: gather + reshape-sum.
     out_slots = jnp.take(out_padded, dest, axis=0)

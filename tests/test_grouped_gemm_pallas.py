@@ -60,3 +60,44 @@ def test_jit_and_grad_compatible():
     f = jax.jit(lambda *a: grouped_expert_ffn_pallas(*a, tile_m=8))
     out = f(x, tp, ti, wg, wu, wd)
     assert out.shape == x.shape
+
+
+def test_stacked_layer_index_matches_dense():
+    """4-D [L, E, D, Fm] stacks + scalar-prefetched layer id == per-layer
+    dense oracle (the slice-copy-free path transformer.forward scans)."""
+    L = 3
+    stacks = [_setup(seed=s) for s in range(L)]
+    wg = jnp.stack([s[3] for s in stacks])
+    wu = jnp.stack([s[4] for s in stacks])
+    wd = jnp.stack([s[5] for s in stacks])
+    x, tp, ti = stacks[1][:3]
+    for li in range(L):
+        want = _experts_dense(x, tp, ti, wg[li], wu[li], wd[li])
+        got = grouped_expert_ffn_pallas(
+            x, tp, ti, wg, wu, wd, tile_m=8,
+            layer_index=jnp.int32(li))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_stacked_forward_matches_scanned(monkeypatch):
+    """Full model forward with CTDB_MOE_STACKED=1 (stacks as loop
+    invariants, layer-indexed kernels) == the default scanned forward."""
+    from ct_diffusionmodelbench_tpu.models import (
+        get_config, init_params, make_forward_fn)
+
+    cfg = get_config("llada-moe-tiny", dtype="float32").replace(
+        hidden_size=128, moe_intermediate_size=128, head_dim=32)
+    params = init_params(cfg, jax.random.key(7))
+    ids = jax.random.randint(jax.random.key(8), (2, 24), 3,
+                             cfg.vocab_size - 2)
+    fwd = make_forward_fn(cfg)
+    want, aux_want = fwd(params, ids)
+
+    monkeypatch.setenv("CTDB_MOE_STACKED", "1")
+    monkeypatch.setenv("CTDB_GROUPED_GEMM", "pallas")
+    got, aux_got = fwd(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(aux_got), float(aux_want),
+                               rtol=1e-4, atol=1e-5)
