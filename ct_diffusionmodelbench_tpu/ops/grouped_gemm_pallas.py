@@ -168,8 +168,9 @@ def grouped_gateup_padded(
             raise ValueError(f"stacked gate/up needs F % {TILE_N} == 0, got {f}")
         we_gate = jnp.pad(we_gate, ((0, 0), (0, 0), (0, f_pad - f)))
         we_up = jnp.pad(we_up, ((0, 0), (0, 0), (0, f_pad - f)))
-    # Two weight blocks live at once — halve the per-block budget.
-    tile_n = _pick_tile_n(f_pad, d, we_gate.dtype.itemsize, budget_bytes=4 << 20)
+    # Two weight blocks live at once.
+    tile_n = _pick_tile_n(f_pad, d, we_gate.dtype.itemsize, tile_m,
+                          n_weights=2)
 
     nsp, w_spec = _weight_specs(we_gate.ndim, d, tile_n)
     x_spec = pl.BlockSpec((tile_m, d), lambda j, i, *s: (i, 0),
@@ -199,16 +200,31 @@ def grouped_gateup_padded(
     return out[:, :f]
 
 
-def _pick_tile_n(f_pad: int, d: int, itemsize: int,
-                 budget_bytes: int = 8 << 20) -> int:
-    """Widest 128-multiple n-tile whose [D, tile_n] weight block fits the
-    VMEM budget — wider tiles mean fewer n passes over the rows and fewer
-    weight re-fetches per expert."""
-    max_n = max(128, (budget_bytes // (d * itemsize)) // 128 * 128)
-    tile_n = min(f_pad, max_n)
-    while f_pad % tile_n:
-        tile_n -= 128
-    return tile_n
+def _pick_tile_n(f_pad: int, d: int, itemsize: int, tile_m: int = TILE_M,
+                 n_weights: int = 1,
+                 limit_bytes: int = (15 << 20) + (256 << 10)) -> int:
+    """Widest 128-multiple n-tile whose whole working set fits scoped VMEM.
+
+    Wider tiles mean fewer n passes over the rows (each re-streams every x
+    row tile) and fewer weight re-fetches per expert, but every block is
+    double-buffered by Mosaic against the 16 MB v5e scoped-VMEM limit.
+    Working set per grid step: ``n_weights`` weight blocks [D, tile_n] ×2,
+    the x row tile [tile_m, D] ×2, the out tile ×2.  The limit is
+    calibrated against two measured anchors at (D=2048, tile_n=896,
+    2 weights): tile_m=64 (model 15.44 MB) compiles, tile_m=128 (model
+    16.19 MB) overflows Mosaic's 16 MB scoped stack by 332 KB — so the
+    cutoff sits between them; Mosaic's true stack bookkeeping adds
+    overhead this model intentionally absorbs into the margin."""
+    fixed = 2 * tile_m * d * itemsize
+    best = 128
+    tile_n = 128
+    while tile_n <= f_pad:
+        need = (n_weights * 2 * d * tile_n * itemsize + fixed
+                + 2 * tile_m * tile_n * itemsize)
+        if need <= limit_bytes and f_pad % tile_n == 0:
+            best = tile_n
+        tile_n += 128
+    return best
 
 
 def grouped_matmul_padded(
@@ -224,7 +240,7 @@ def grouped_matmul_padded(
     stacked = w.ndim == 4
     if tile_n is None:
         f_pad = _round_up(f, TILE_N)
-        tile_n = _pick_tile_n(f_pad, d, w.dtype.itemsize)  # divides f_pad
+        tile_n = _pick_tile_n(f_pad, d, w.dtype.itemsize, tile_m)  # divides f_pad
     else:
         f_pad = _round_up(f, tile_n)  # explicit tile_n: pad up to it
     if f_pad != f:
