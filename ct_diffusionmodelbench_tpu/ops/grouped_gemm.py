@@ -65,13 +65,10 @@ def grouped_expert_ffn(
     if choice is None:
         choice = "pallas" if jax.default_backend() == "tpu" else "ragged"
     if choice == "pallas":
-        from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import (
-            grouped_expert_ffn_pallas,
-        )
-
-        return grouped_expert_ffn_pallas(x, topk_probs, topk_idx,
-                                         we_gate, we_up, we_down,
-                                         layer_index=layer_index)
+        li = jnp.asarray(
+            0 if layer_index is None else layer_index, jnp.int32)
+        return _pallas_ffn_ad(x, topk_probs, topk_idx,
+                              we_gate, we_up, we_down, li)
 
     if layer_index is not None and we_gate.ndim == 4:
         # ragged_dot has no layer-indexed form — slice (costs the stack
@@ -80,6 +77,12 @@ def grouped_expert_ffn(
             jax.lax.dynamic_index_in_dim(w, layer_index, 0, keepdims=False)
             for w in (we_gate, we_up, we_down))
 
+    return _ffn_ragged(x, topk_probs, topk_idx, we_gate, we_up, we_down)
+
+
+def _ffn_ragged(x, topk_probs, topk_idx, we_gate, we_up, we_down):
+    """lax.ragged_dot formulation (3-D weights) — fully differentiable;
+    serves as the Pallas path's backward (custom_vjp below)."""
     num_experts = we_gate.shape[0]
     dest, token_of, group_sizes = _sort_by_expert(topk_idx, num_experts)
 
@@ -104,3 +107,62 @@ def grouped_expert_ffn(
     contrib = out_slots.astype(jnp.float32).reshape(n, k, -1) \
         * topk_probs[..., None]
     return contrib.sum(axis=1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable Pallas wrapper
+# ---------------------------------------------------------------------------
+# pallas_call has no autodiff rule, but single-chip MoE *training* (no mesh)
+# routes through this grouped path (models/moe.py impl="auto"), so the
+# kernel needs a VJP: forward = the Pallas kernels, backward = jax.vjp of
+# the ragged_dot formulation above (rematerializes gate/up — standard
+# flash-style trade).  ``li`` is always a traced int32 scalar (0 when the
+# weights are per-layer 3-D and it is unused).
+
+@jax.custom_vjp
+def _pallas_ffn_ad(x, probs, idx, wg, wu, wd, li):
+    from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import (
+        grouped_expert_ffn_pallas,
+    )
+
+    return grouped_expert_ffn_pallas(
+        x, probs, idx, wg, wu, wd,
+        layer_index=li if wg.ndim == 4 else None)
+
+
+def _pallas_ffn_fwd(x, probs, idx, wg, wu, wd, li):
+    return (_pallas_ffn_ad(x, probs, idx, wg, wu, wd, li),
+            (x, probs, idx, wg, wu, wd, li))
+
+
+def _pallas_ffn_bwd(res, g):
+    import numpy as np
+
+    x, probs, idx, wg, wu, wd, li = res
+    stacked = wg.ndim == 4
+    if stacked:
+        wg3, wu3, wd3 = (
+            jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+            for w in (wg, wu, wd))
+    else:
+        wg3, wu3, wd3 = wg, wu, wd
+    _, vjp = jax.vjp(
+        lambda x_, p_, a, b, c: _ffn_ragged(x_, p_, idx, a, b, c),
+        x, probs, wg3, wu3, wd3)
+    dx, dp, dwg3, dwu3, dwd3 = vjp(g)
+    if stacked:
+        # Scatter the per-layer weight grads back into zero stacks (the
+        # cotangent of slicing).  Note: this materializes full-stack-sized
+        # grads — fine for the tiny/test models that train single-chip;
+        # full-size training runs under a mesh and never takes this path.
+        dwg, dwu, dwd = (
+            jnp.zeros(w.shape, d3.dtype).at[li].set(d3)
+            for w, d3 in ((wg, dwg3), (wu, dwu3), (wd, dwd3)))
+    else:
+        dwg, dwu, dwd = dwg3, dwu3, dwd3
+    f0 = jax.dtypes.float0
+    return (dx, dp, np.zeros(idx.shape, f0), dwg, dwu, dwd,
+            np.zeros(li.shape, f0))
+
+
+_pallas_ffn_ad.defvjp(_pallas_ffn_fwd, _pallas_ffn_bwd)
