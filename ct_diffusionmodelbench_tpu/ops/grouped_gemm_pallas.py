@@ -20,6 +20,7 @@ measurements pick the winner per shape.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -317,16 +318,193 @@ def grouped_expert_ffn_pallas(
         token_of_slot)                                  # padded row → token
     xs_padded = jnp.take(x, src, axis=0)                # pad rows: dup of a
     #                                                     real row, weight 0
-    h = grouped_gateup_padded(xs_padded, we_gate, we_up, tile_expert, tile_m,
-                              layer_index=layer_index)
-    out_padded = grouped_matmul_padded(h, we_down, tile_expert, tile_m,
-                                       layer_index=layer_index)
+    # Measured on v5e (tools/xprof_ffn.py + fused-vs-pair sweeps): the
+    # single-pass megakernel runs 2.12 ms/layer vs the pair's 2.31 inside
+    # the kernel, but loses the epilogue fusion and nets ~0.1-0.2 ms/layer
+    # SLOWER at both the batched (3.54 vs 3.36) and single-sample (1.19 vs
+    # 1.13) bench shapes — the pair stays the default; the megakernel is
+    # kept as a tested alternative for shapes where h-round-trip dominates.
+    fm = we_gate.shape[-1]
+    fused = (os.environ.get("CTDB_GROUPED_FUSED", "0") == "1"
+             and d % 128 == 0 and fm % 128 == 0)
+    if fused:
+        out_padded = grouped_ffn_fused_padded(
+            xs_padded, we_gate, we_up, we_down, tile_expert, tile_m,
+            layer_index=layer_index)
+    else:
+        h = grouped_gateup_padded(xs_padded, we_gate, we_up, tile_expert,
+                                  tile_m, layer_index=layer_index)
+        out_padded = grouped_matmul_padded(h, we_down, tile_expert, tile_m,
+                                           layer_index=layer_index)
 
     # slot (natural (token, k) order) → its padded row: gather + reshape-sum.
     out_slots = jnp.take(out_padded, dest, axis=0)
     contrib = out_slots.astype(jnp.float32).reshape(n, k, d) \
         * topk_probs[..., None]
     return contrib.sum(axis=1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-pass FFN megakernel (gate + up + SiLU + down in one kernel)
+# ---------------------------------------------------------------------------
+# Device profiling (tools/xprof_ffn.py, v5e, 20480 slots) showed the
+# two-kernel pipeline losing ~35% to expert-boundary weight-DMA stalls:
+# Mosaic's automatic pipelining only looks ONE grid step ahead, so an 11 MB
+# expert-weight fetch (9 us) can't hide behind a 2.4 us row-tile matmul at
+# every expert transition — and it pays that stall twice (gate/up kernel,
+# then down kernel), plus an HBM round-trip for h.
+#
+# This kernel instead keeps the weights in HBM (memory_space=ANY) and
+# manages its own double buffer: at the FIRST tile of each expert's run it
+# waits for that expert's three weight matrices (issued one full run
+# earlier) and immediately starts the DMA for the *next* run's expert into
+# the alternate buffer slot — giving the whole run's compute (~5-6 tiles,
+# 13-22 us) to hide the 11 MB transfer, and saturating the DMA engine when
+# runs are short (single-sample decode: weight-DMA-bound at the HBM floor).
+# h never leaves VMEM.
+
+
+def _fused_ffn_kernel(*refs, stacked: bool):
+    if stacked:
+        (te_ref, nxt_ref, start_ref, slot_ref, li_ref,
+         x_ref, wg_hbm, wu_hbm, wd_hbm, o_ref,
+         wg_buf, wu_buf, wd_buf, sems) = refs
+    else:
+        (te_ref, nxt_ref, start_ref, slot_ref,
+         x_ref, wg_hbm, wu_hbm, wd_hbm, o_ref,
+         wg_buf, wu_buf, wd_buf, sems) = refs
+        li_ref = None
+
+    i = pl.program_id(0)
+    slot = slot_ref[i]
+
+    def copies(e, s):
+        def src(w_hbm):
+            return w_hbm.at[li_ref[0], e] if stacked else w_hbm.at[e]
+        return (
+            pltpu.make_async_copy(src(wg_hbm), wg_buf.at[s], sems.at[s, 0]),
+            pltpu.make_async_copy(src(wu_hbm), wu_buf.at[s], sems.at[s, 1]),
+            pltpu.make_async_copy(src(wd_hbm), wd_buf.at[s], sems.at[s, 2]),
+        )
+
+    @pl.when(i == 0)
+    def _():  # bootstrap: nothing in flight yet for the first run
+        for c in copies(te_ref[0], slot):
+            c.start()
+
+    @pl.when(start_ref[i] == 1)
+    def _():
+        for c in copies(te_ref[i], slot):
+            c.wait()
+        nxt = nxt_ref[i]
+
+        @pl.when(nxt >= 0)
+        def _():  # prefetch the next run's expert into the other slot
+            for c in copies(nxt, 1 - slot):
+                c.start()
+
+    x = x_ref[...]                                     # [tile_m, D]
+
+    def compute(s: int):
+        # STATIC buffer index: wg_buf[slot] with a traced index makes
+        # Mosaic materialize a VMEM->VMEM copy of the whole 3.67 MB buffer
+        # per tile — predicated static branches read in place.
+        def _():
+            gate = jax.lax.dot_general(
+                x, wg_buf[s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            up = jax.lax.dot_general(
+                x, wu_buf[s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            h = (jax.nn.silu(gate) * up).astype(x.dtype)  # stays in VMEM
+            out = jax.lax.dot_general(
+                h, wd_buf[s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[...] = out.astype(o_ref.dtype)
+        return _
+
+    pl.when(slot == 0)(compute(0))
+    pl.when(slot == 1)(compute(1))
+
+
+def _run_schedule(tile_expert: jnp.ndarray, e: int):
+    """Per-tile (start, slot, next_expert) for the manual double buffer.
+
+    ``tile_expert`` is non-decreasing (counting layout), so the next run's
+    expert is the suffix-min of the change-point values."""
+    t = tile_expert.astype(jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), t[:-1]])
+    start = (t != prev).astype(jnp.int32)
+    slot = ((jnp.cumsum(start) - 1) % 2).astype(jnp.int32)
+    big = jnp.int32(e + 1)
+    change_val = jnp.where(t[1:] != t[:-1], t[1:], big)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(change_val)))
+    nxt = jnp.where(nxt == big, jnp.int32(-1), nxt)
+    nxt = jnp.concatenate([nxt, jnp.full((1,), -1, jnp.int32)])
+    return start, slot, nxt
+
+
+def grouped_ffn_fused_padded(
+    xs_padded: jnp.ndarray,    # [M_pad, D]
+    we_gate: jnp.ndarray,      # [E, D, F] or [L, E, D, F] with layer_index
+    we_up: jnp.ndarray,
+    we_down: jnp.ndarray,      # [E, F, D] or [L, E, F, D]
+    tile_expert: jnp.ndarray,  # [M_pad / tile_m] int32, non-decreasing
+    tile_m: int = TILE_M,
+    layer_index: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """silu(x@wg[e]) * (x@wu[e]) @ wd[e] in ONE pallas_call on the padded
+    grouped layout.  Requires lane-aligned dims (D % 128 == 0,
+    F % 128 == 0) — callers fall back to the two-kernel pipeline otherwise."""
+    m_pad, d = xs_padded.shape
+    e, _, f = we_gate.shape[-3:]
+    stacked = we_gate.ndim == 4
+    if d % 128 or f % 128:
+        raise ValueError(f"fused FFN needs D, F % 128 == 0, got {d}, {f}")
+
+    start, slot, nxt = _run_schedule(tile_expert, e)
+
+    wdt = we_gate.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5 if stacked else 4,
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, d), lambda i, *s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile_m, d), lambda i, *s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, d, f), wdt),
+            pltpu.VMEM((2, d, f), wdt),
+            pltpu.VMEM((2, f, d), wdt),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    scalars = [tile_expert, nxt, start, slot]
+    if stacked:
+        scalars.append(jnp.asarray(layer_index, jnp.int32).reshape(1))
+    return pl.pallas_call(
+        functools.partial(_fused_ffn_kernel, stacked=stacked),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), xs_padded.dtype),
+        compiler_params=pltpu.CompilerParams(
+            # 3 double-buffered expert weights (~22 MB at the llada-moe-7b
+            # shape) exceed the default 16 MB scoped window; v5e has 128 MB
+            # of physical VMEM.
+            vmem_limit_bytes=64 << 20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * m_pad * d * f,
+            bytes_accessed=2 * xs_padded.size * xs_padded.dtype.itemsize
+            + 3 * e * d * f * wdt.itemsize,
+            transcendentals=m_pad * f,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*scalars, xs_padded, we_gate, we_up, we_down)
 
 
 def ragged_matmul(xs_sorted, w, group_sizes, tile_m: int = TILE_M):
