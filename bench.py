@@ -50,6 +50,45 @@ def chip_peak_tflops() -> tuple[str, float]:
     return kind, float("nan")  # mfu reported as null then
 
 
+def _sanity_matmul_ms() -> float:
+    """ms/iter of a 2048³ bf16 matmul chain — ~0.1 ms on a quiet v5e."""
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.key(9), (2048, 2048), jnp.bfloat16)
+
+    @jax.jit
+    def f(a):
+        def body(_, c):
+            return (c @ x).astype(c.dtype)
+        return jax.lax.fori_loop(0, 32, body, a)
+
+    np.asarray(f(x))
+    best = min(_once(lambda: np.asarray(f(x))) for _ in range(3))
+    return best / 32 * 1e3
+
+
+def _once(call):
+    t0 = time.time()
+    call()
+    return time.time() - t0
+
+
+def wait_for_quiet(max_wait_s: float = 1500, threshold_ms: float = 0.8):
+    """Block until the shared axon pool looks quiet, or the budget expires.
+
+    The pooled chip is time-sliced across tenants and effective throughput
+    swings >30x within minutes (CLAUDE.md) — an unlucky window once
+    recorded a 9.17 s single-sample latency that re-measures at 2.66 s on
+    a quiet chip.  Returns the last sanity reading (recorded in the JSON
+    so a contended artifact is at least *labeled* as such)."""
+    deadline = time.time() + max_wait_s
+    ms = _sanity_matmul_ms()
+    while ms >= threshold_ms and time.time() < deadline:
+        time.sleep(60)
+        ms = _sanity_matmul_ms()
+    return ms
+
+
 def measure(cfg, params, fwd, *, steps, batch, reps, seed=1):
     """Median seconds per batched sampler call (greedy LLaDA config)."""
     from ct_diffusionmodelbench_tpu.sampling import llada_generate
@@ -117,7 +156,9 @@ def main():
     chip_kind, peak = chip_peak_tflops()
     n_chips = len(jax.devices())
 
+    sanity_ms = None
     if on_tpu:
+        sanity_ms = round(wait_for_quiet(), 3)
         # Headline: the reference's own model class and sampler config.
         # Try the full-size 7.27B MoE first; the shared axon pool's
         # allocator caps >3 GiB buffers at two, so its three ~3.9 GiB
@@ -168,6 +209,10 @@ def main():
             "backend": jax.default_backend(),
             "chips": n_chips,
             "chip_kind": chip_kind,
+            # ms/iter of a sanity 2048^3 matmul right before measuring:
+            # ~0.1 quiet, multi-ms when other tenants share the chip (the
+            # numbers below are then lower bounds on true throughput).
+            "pool_sanity_matmul_ms": sanity_ms,
             "peak_bf16_tflops_per_chip": peak if np.isfinite(peak) else None,
             "baseline": "LLaDA-MoE-7B-A1B 256 tok / 57.09 s on GH200 "
                         "(model_performance.md:5; BASELINE.md)",
