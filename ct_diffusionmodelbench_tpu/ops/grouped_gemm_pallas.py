@@ -364,13 +364,16 @@ def grouped_expert_ffn_pallas(
 # h never leaves VMEM.
 
 
+NSLOTS = 3  # weight buffer slots: two-run DMA lookahead
+
+
 def _fused_ffn_kernel(*refs, stacked: bool):
     if stacked:
-        (te_ref, nxt_ref, start_ref, slot_ref, li_ref,
+        (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref, li_ref,
          x_ref, wg_hbm, wu_hbm, wd_hbm, o_ref,
          wg_buf, wu_buf, wd_buf, sems) = refs
     else:
-        (te_ref, nxt_ref, start_ref, slot_ref,
+        (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref,
          x_ref, wg_hbm, wu_hbm, wd_hbm, o_ref,
          wg_buf, wu_buf, wd_buf, sems) = refs
         li_ref = None
@@ -388,19 +391,25 @@ def _fused_ffn_kernel(*refs, stacked: bool):
         )
 
     @pl.when(i == 0)
-    def _():  # bootstrap: nothing in flight yet for the first run
+    def _():  # bootstrap: runs 0 and 1 have no earlier run-start to issue them
         for c in copies(te_ref[0], slot):
             c.start()
+        nxt = nxt_ref[0]
+
+        @pl.when(nxt >= 0)
+        def _():
+            for c in copies(nxt, (slot + 1) % NSLOTS):
+                c.start()
 
     @pl.when(start_ref[i] == 1)
     def _():
         for c in copies(te_ref[i], slot):
             c.wait()
-        nxt = nxt_ref[i]
+        nxt2 = nxt2_ref[i]
 
-        @pl.when(nxt >= 0)
-        def _():  # prefetch the next run's expert into the other slot
-            for c in copies(nxt, 1 - slot):
+        @pl.when(nxt2 >= 0)
+        def _():  # two-run lookahead: issue run r+2 while r and r+1 stream
+            for c in copies(nxt2, jax.lax.rem(slot + 2, NSLOTS)):
                 c.start()
 
     x = x_ref[...]                                     # [tile_m, D]
@@ -423,25 +432,40 @@ def _fused_ffn_kernel(*refs, stacked: bool):
             o_ref[...] = out.astype(o_ref.dtype)
         return _
 
-    pl.when(slot == 0)(compute(0))
-    pl.when(slot == 1)(compute(1))
+    for s in range(NSLOTS):
+        pl.when(slot == s)(compute(s))
 
 
 def _run_schedule(tile_expert: jnp.ndarray, e: int):
-    """Per-tile (start, slot, next_expert) for the manual double buffer.
+    """Per-tile (start, slot, next, next-next expert) for the manual
+    NSLOTS-deep weight pipeline.
 
     ``tile_expert`` is non-decreasing (counting layout), so the next run's
-    expert is the suffix-min of the change-point values."""
+    expert is the suffix-min of the change-point values, and the run after
+    that is ``nxt`` evaluated at the first tile of the next run."""
     t = tile_expert.astype(jnp.int32)
+    n = t.shape[0]
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), t[:-1]])
     start = (t != prev).astype(jnp.int32)
-    slot = ((jnp.cumsum(start) - 1) % 2).astype(jnp.int32)
+    slot = ((jnp.cumsum(start) - 1) % NSLOTS).astype(jnp.int32)
+
     big = jnp.int32(e + 1)
-    change_val = jnp.where(t[1:] != t[:-1], t[1:], big)
+    change = t[1:] != t[:-1]
+    change_val = jnp.where(change, t[1:], big)
     nxt = jnp.flip(jax.lax.cummin(jnp.flip(change_val)))
     nxt = jnp.where(nxt == big, jnp.int32(-1), nxt)
     nxt = jnp.concatenate([nxt, jnp.full((1,), -1, jnp.int32)])
-    return start, slot, nxt
+
+    # Position of the first change at or after i → the next run starts at
+    # pos+1; nxt there is the run-after-next's expert.
+    bigp = jnp.int32(n)
+    pos = jnp.where(change, jnp.arange(n - 1, dtype=jnp.int32), bigp)
+    pos = jnp.flip(jax.lax.cummin(jnp.flip(pos)))
+    pos = jnp.concatenate([pos, jnp.full((1,), bigp, jnp.int32)])
+    nxt2 = jnp.where(pos < n - 1,
+                     jnp.take(nxt, jnp.minimum(pos + 1, n - 1)),
+                     jnp.int32(-1))
+    return start, slot, nxt, nxt2
 
 
 def grouped_ffn_fused_padded(
@@ -462,11 +486,11 @@ def grouped_ffn_fused_padded(
     if d % 128 or f % 128:
         raise ValueError(f"fused FFN needs D, F % 128 == 0, got {d}, {f}")
 
-    start, slot, nxt = _run_schedule(tile_expert, e)
+    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e)
 
     wdt = we_gate.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5 if stacked else 4,
+        num_scalar_prefetch=6 if stacked else 5,
         grid=(m_pad // tile_m,),
         in_specs=[
             pl.BlockSpec((tile_m, d), lambda i, *s: (i, 0),
@@ -478,13 +502,13 @@ def grouped_ffn_fused_padded(
         out_specs=pl.BlockSpec((tile_m, d), lambda i, *s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, d, f), wdt),
-            pltpu.VMEM((2, d, f), wdt),
-            pltpu.VMEM((2, f, d), wdt),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((NSLOTS, d, f), wdt),
+            pltpu.VMEM((NSLOTS, d, f), wdt),
+            pltpu.VMEM((NSLOTS, f, d), wdt),
+            pltpu.SemaphoreType.DMA((NSLOTS, 3)),
         ],
     )
-    scalars = [tile_expert, nxt, start, slot]
+    scalars = [tile_expert, nxt, nxt2, start, slot]
     if stacked:
         scalars.append(jnp.asarray(layer_index, jnp.int32).reshape(1))
     return pl.pallas_call(
@@ -492,7 +516,7 @@ def grouped_ffn_fused_padded(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, d), xs_padded.dtype),
         compiler_params=pltpu.CompilerParams(
-            # 3 double-buffered expert weights (~22 MB at the llada-moe-7b
+            # NSLOTS buffered expert weights (~33 MB at the llada-moe-7b
             # shape) exceed the default 16 MB scoped window; v5e has 128 MB
             # of physical VMEM.
             vmem_limit_bytes=64 << 20,
