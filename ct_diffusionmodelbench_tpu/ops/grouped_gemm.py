@@ -86,7 +86,7 @@ def _ffn_ragged(x, topk_probs, topk_idx, we_gate, we_up, we_down):
     num_experts = we_gate.shape[0]
     dest, token_of, group_sizes = _sort_by_expert(topk_idx, num_experts)
 
-    xs = jnp.take(x, token_of, axis=0)                     # [N*K, D] sorted by expert
+    xs = jnp.take(x, token_of, axis=0, mode="clip")       # [N*K, D] sorted by expert
 
     gate = jax.lax.ragged_dot(xs, we_gate, group_sizes,
                               preferred_element_type=jnp.float32)
@@ -103,7 +103,7 @@ def _ffn_ragged(x, topk_probs, topk_idx, we_gate, we_up, we_down):
     # combine is a plain axis-sum.  ``dest`` maps the natural (token, k)
     # slot order straight to sorted rows — no inverse permutation needed.
     n, k = topk_idx.shape
-    out_slots = jnp.take(out_sorted, dest, axis=0)         # [M, D] slot order
+    out_slots = jnp.take(out_sorted, dest, axis=0, mode="clip")  # [M, D] slot order
     contrib = out_slots.astype(jnp.float32).reshape(n, k, -1) \
         * topk_probs[..., None]
     return contrib.sum(axis=1).astype(x.dtype)

@@ -316,7 +316,10 @@ def grouped_expert_ffn_pallas(
     token_of_slot = (jnp.arange(m, dtype=jnp.int32) // k)
     src = jnp.zeros((m_pad,), jnp.int32).at[dest].set(
         token_of_slot)                                  # padded row → token
-    xs_padded = jnp.take(x, src, axis=0)                # pad rows: dup of a
+    # mode="clip": indices are in-bounds by construction; the default
+    # mode="fill" materializes an extra full-size select pass against the
+    # fill value (profiled at ~0.15 ms/layer, tools/xprof_generate.py).
+    xs_padded = jnp.take(x, src, axis=0, mode="clip")  # pad rows: dup of a
     #                                                     real row, weight 0
     # Measured on v5e (tools/xprof_ffn.py + fused-vs-pair sweeps): the
     # single-pass megakernel runs 2.12 ms/layer vs the pair's 2.31 inside
@@ -338,7 +341,7 @@ def grouped_expert_ffn_pallas(
                                            layer_index=layer_index)
 
     # slot (natural (token, k) order) → its padded row: gather + reshape-sum.
-    out_slots = jnp.take(out_padded, dest, axis=0)
+    out_slots = jnp.take(out_padded, dest, axis=0, mode="clip")
     contrib = out_slots.astype(jnp.float32).reshape(n, k, d) \
         * topk_probs[..., None]
     return contrib.sum(axis=1).astype(x.dtype)
@@ -539,6 +542,6 @@ def ragged_matmul(xs_sorted, w, group_sizes, tile_m: int = TILE_M):
     dest, tile_expert, m_pad = padded_layout(group_sizes, m, tile_m)
     src = jnp.zeros((m_pad,), jnp.int32).at[dest].set(
         jnp.arange(m, dtype=jnp.int32))
-    xp = jnp.take(xs_sorted, src, axis=0)  # gather, not a wide-row scatter
+    xp = jnp.take(xs_sorted, src, axis=0, mode="clip")  # gather, not scatter
     out = grouped_matmul_padded(xp, w, tile_expert, tile_m)
-    return jnp.take(out, dest, axis=0)
+    return jnp.take(out, dest, axis=0, mode="clip")
