@@ -53,13 +53,17 @@ def padded_layout(group_sizes: jnp.ndarray, m: int, tile_m: int = TILE_M):
     pstarts = jnp.cumsum(padded_sizes) - padded_sizes         # [E] padded starts
 
     row = jnp.arange(m, dtype=jnp.int32)
-    # group of each sorted row: searchsorted over source offsets
-    g = jnp.searchsorted(jnp.cumsum(sizes), row, side="right").astype(jnp.int32)
+    # group of each sorted row — comparison-sum in place of searchsorted
+    # (one VPU fusion vs a binary-search while-loop; see counting_layout)
+    g = jnp.sum((jnp.cumsum(sizes)[None, :] <= row[:, None]).astype(jnp.int32),
+                axis=1)
+    g = jnp.minimum(g, e - 1)
     dest = pstarts[g] + (row - offsets[g])
 
     tile_start = jnp.arange(m_pad // tile_m, dtype=jnp.int32) * tile_m
     pend = jnp.cumsum(padded_sizes)
-    tile_expert = jnp.searchsorted(pend, tile_start, side="right").astype(jnp.int32)
+    tile_expert = jnp.sum(
+        (pend[None, :] <= tile_start[:, None]).astype(jnp.int32), axis=1)
     tile_expert = jnp.minimum(tile_expert, e - 1)
     return dest, tile_expert, m_pad
 
@@ -99,7 +103,12 @@ def counting_layout(topk_idx: jnp.ndarray, e: int, tile_m: int = TILE_M):
 
     tile_start = jnp.arange(m_pad // tile_m, dtype=jnp.int32) * tile_m
     pend = jnp.cumsum(padded_sizes)
-    tile_expert = jnp.searchsorted(pend, tile_start, side="right").astype(jnp.int32)
+    # searchsorted(pend, v, "right") == #{i: pend[i] <= v}; the comparison-
+    # sum is ONE VPU fusion, whereas jnp.searchsorted lowers to a binary-
+    # search while-loop + select fusions (~0.33 ms/layer on-chip at E=64,
+    # tools/xprof_generate.py).
+    tile_expert = jnp.sum(
+        (pend[None, :] <= tile_start[:, None]).astype(jnp.int32), axis=1)
     tile_expert = jnp.minimum(tile_expert, e - 1)
     return dest, tile_expert, sizes, m_pad
 
