@@ -150,12 +150,70 @@ def bench_grouped_gemm():
     return out
 
 
+def bench_sft():
+    """Diffusion-SFT train-step throughput, single chip.
+
+    Comparable row: the reference's 4.873 samples/s for full-parameter SFT
+    of the 8B LLaDA across EIGHT GH200s (Training_Results/NOV8_1kto21k/
+    training_metrics.json — SURVEY.md §6).  One 16 GB v5e cannot hold an
+    8B model's f32 Adam state (that is what the dp/tp sharded Trainer is
+    for), so this measures the largest-fitting dense model of the same
+    architecture: llada-2b trimmed to 6 layers (0.83B params;
+    params bf16 + f32 grads + Adam m/v ≈ 13 GB).  Seq 2048, effective
+    batch 4 (grad-accum 4 × micro 1), matching the reference's per-GPU
+    profile (per-device batch 1, grad-accum 4, MAX_LENGTH 2048)."""
+    import optax
+
+    from ct_diffusionmodelbench_tpu.models import get_config, init_params
+    from ct_diffusionmodelbench_tpu.train.trainer import (
+        TrainConfig, make_optimizer, make_train_step)
+
+    cfg = get_config("llada-2b").replace(num_layers=6)
+    tcfg = TrainConfig(learning_rate=5e-5, grad_accum=4, batch_size=1,
+                       max_length=2048, remat=True)
+    params = init_params(cfg, jax.random.key(0))
+    jax.block_until_ready(params)
+    optimizer, _ = make_optimizer(tcfg, total_steps=100)
+    opt_state = optimizer.init(params)
+    step, _ = make_train_step(cfg, tcfg, optimizer)
+
+    A, B, L = 4, 1, 2048
+    ids = jax.random.randint(jax.random.key(1), (A, B, L), 10, 100_000)
+    plens = jnp.full((A, B), 64, jnp.int32)
+    key = jax.random.key(2)
+
+    params, opt_state, _ = step(params, opt_state, ids, plens, key)  # compile
+    jax.block_until_ready(params)
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        params, opt_state, m = step(params, opt_state, ids, plens, key)
+        np.asarray(m["loss"])
+        ts.append(time.time() - t0)
+    dt = float(np.median(ts))
+    nparams = sum(x.size for x in jax.tree.leaves(params))
+    flops = 6 * nparams * A * B * L          # fwd+bwd ~ 6ND
+    del params, opt_state
+    return {
+        "model": f"llada-2b arch, {cfg.num_layers} layers "
+                 f"({nparams/1e9:.2f}B - largest dense fit w/ f32 Adam)",
+        "seq_len": L, "effective_batch": A * B,
+        "seconds_per_step": round(dt, 3),
+        "samples_per_second_per_chip": round(A * B / dt, 3),
+        "tokens_per_second_per_chip": round(A * B * L / dt, 1),
+        "train_mfu": round(flops / dt / 197e12, 4),
+        "reference": "4.873 samples/s = 0.609/GPU for 8B SFT on 8x GH200 "
+                     "(NOV8_1kto21k training_metrics.json)",
+    }
+
+
 def main():
     assert jax.default_backend() == "tpu", "perf ledger is a TPU artifact"
     ledger = {"chip_kind": jax.devices()[0].device_kind}
     for name, fn in (("attention_crossover", bench_attention_crossover),
                      ("grouped_gemm", bench_grouped_gemm),
-                     ("dream_reference_config", bench_dream)):
+                     ("dream_reference_config", bench_dream),
+                     ("sft_train_step", bench_sft)):
         try:
             ledger[name] = fn()
         except Exception as e:  # keep the partial ledger (pool OOMs happen)

@@ -178,3 +178,36 @@ def test_fused_megakernel_stacked(monkeypatch):
                                         layer_index=jnp.int32(li))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_counting_layout_matches_numpy_reference():
+    """The sort-free layout's index math (one-hot cumsum ranks + comparison-
+    sum tile owners — optimized away from searchsorted) vs a plain NumPy
+    counting sort."""
+    from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import (
+        counting_layout)
+
+    rng = np.random.default_rng(3)
+    for e, n, k, tile_m in ((8, 40, 2, 8), (5, 17, 3, 4), (3, 64, 1, 16)):
+        idx = rng.integers(0, e, size=(n, k)).astype(np.int32)
+        dest, tile_expert, sizes, m_pad = counting_layout(
+            jnp.asarray(idx), e, tile_m)
+        dest, tile_expert, sizes = (np.asarray(dest), np.asarray(tile_expert),
+                                    np.asarray(sizes))
+        flat = idx.reshape(-1)
+        want_sizes = np.bincount(flat, minlength=e)
+        np.testing.assert_array_equal(sizes, want_sizes)
+        padded = ((want_sizes + tile_m - 1) // tile_m) * tile_m
+        pstarts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+        # rank of each slot within its expert, stable in slot order
+        seen = np.zeros(e, np.int64)
+        want_dest = np.empty_like(flat)
+        for s, ex in enumerate(flat):
+            want_dest[s] = pstarts[ex] + seen[ex]
+            seen[ex] += 1
+        np.testing.assert_array_equal(dest, want_dest)
+        # every tile's rows belong to exactly the expert it claims
+        pend = np.cumsum(padded)
+        for t in range(m_pad // tile_m):
+            owner = int(np.searchsorted(pend, t * tile_m, side="right"))
+            assert tile_expert[t] == min(owner, e - 1)
