@@ -190,6 +190,12 @@ def main():
         # North-star shape (BASELINE.json: 256 steps) on the dense 2B.
         _, dense = bench_model("llada-2b", steps=256, batch=8, reps=2,
                                peak_tflops=peak)
+        dense["note"] = (
+            "stand-in for the LLaDA-8B the north star names "
+            "(BASELINE.json:2): 8B bf16 is ~16.3 GB > one v5e chip's 16 GB "
+            "HBM, so a faithful same-architecture scale-down (22L, D=2048) "
+            "runs the 256-step north-star shape single-chip; the full 8B "
+            "executes under TP>=2 (tests/test_full_size_lowering.py)")
     else:  # CPU smoke path for CI
         cfg, moe = bench_model("llada-moe-tiny", steps=16, batch=2, reps=1,
                                peak_tflops=peak, dtype="float32")

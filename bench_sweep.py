@@ -85,12 +85,20 @@ def bench_dream():
     batch = 4
     dtb = run(batch)
     del params
+    # MFU: 256 full-width forwards of seq 320 per sample (the Dream sampler
+    # computes every position's logits each step — no block-sliced head).
+    seq = 64 + 256
+    flops_per_sample = 256 * cfg.forward_flops(seq)
     return {
-        "model": "dream-7b (full size, 7.62B)",
+        "model": "dream-7b (full size)",
+        "params_total_b": round(cfg.param_count() / 1e9, 2),
+        "params_active_b": round(cfg.active_param_count() / 1e9, 2),
         "config": "256 steps, temp 0.4, top_p 0.95, alg=entropy, gen 256",
         "single_sample_sec": round(dt1, 3),
         "batched_sec_per_sample": round(dtb / batch, 3),
         "batch": batch,
+        "mfu": round(batch * flops_per_sample / dtb / 197e12, 4),
+        "mfu_single": round(flops_per_sample / dt1 / 197e12, 4),
         "vs_dream_baseline_49.61s": round(DREAM_BASELINE_SEC / (dtb / batch), 1),
         "vs_diffucoder_baseline_8.02s": round(
             DIFFUCODER_BASELINE_SEC / (dtb / batch), 1),
@@ -150,6 +158,58 @@ def bench_grouped_gemm():
     return out
 
 
+def _measure_train_step(cfg, tcfg, *, A=4, B=1, L=2048, reps=3):
+    """Median seconds/step of the jitted SFT train step on the current
+    backend (compile excluded; forced D2H via the loss scalar)."""
+    from ct_diffusionmodelbench_tpu.models import init_params
+    from ct_diffusionmodelbench_tpu.train.trainer import (
+        make_optimizer, make_train_step)
+
+    params = init_params(cfg, jax.random.key(0))
+    jax.block_until_ready(params)
+    optimizer, _ = make_optimizer(tcfg, total_steps=100)
+    opt_state = optimizer.init(params)
+    step, _ = make_train_step(cfg, tcfg, optimizer)
+
+    ids = jax.random.randint(jax.random.key(1), (A, B, L), 10,
+                             min(100_000, cfg.vocab_size - 10))
+    plens = jnp.full((A, B), 64, jnp.int32)
+    key = jax.random.key(2)
+
+    params, opt_state, _ = step(params, opt_state, ids, plens, key)  # compile
+    jax.block_until_ready(params)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        params, opt_state, m = step(params, opt_state, ids, plens, key)
+        np.asarray(m["loss"])
+        ts.append(time.time() - t0)
+    dt = float(np.median(ts))
+    nparams = sum(x.size for x in jax.tree.leaves(params))
+    del params, opt_state
+    return dt, nparams
+
+
+def _sft_row(cfg, tcfg, label, *, A=4, B=1, L=2048):
+    dt, nparams = _measure_train_step(cfg, tcfg, A=A, B=B, L=L)
+    # fwd+bwd ~ 6 * ACTIVE params * tokens (MoE: only routed+shared experts
+    # see each token).
+    flops = 6 * cfg.active_param_count() * A * B * L
+    return {
+        "model": label,
+        "params_total_b": round(cfg.param_count() / 1e9, 2),
+        "params_active_b": round(cfg.active_param_count() / 1e9, 2),
+        "optimizer_state_dtype": tcfg.optimizer_state_dtype,
+        "seq_len": L, "effective_batch": A * B,
+        "seconds_per_step": round(dt, 3),
+        "samples_per_second_per_chip": round(A * B / dt, 3),
+        "tokens_per_second_per_chip": round(A * B * L / dt, 1),
+        "train_mfu": round(flops / dt / 197e12, 4),
+        "reference": "4.873 samples/s = 0.609/GPU for 8B SFT on 8x GH200 "
+                     "(NOV8_1kto21k training_metrics.json)",
+    }
+
+
 def bench_sft():
     """Diffusion-SFT train-step throughput, single chip.
 
@@ -162,49 +222,74 @@ def bench_sft():
     params bf16 + f32 grads + Adam m/v ≈ 13 GB).  Seq 2048, effective
     batch 4 (grad-accum 4 × micro 1), matching the reference's per-GPU
     profile (per-device batch 1, grad-accum 4, MAX_LENGTH 2048)."""
-    import optax
-
-    from ct_diffusionmodelbench_tpu.models import get_config, init_params
-    from ct_diffusionmodelbench_tpu.train.trainer import (
-        TrainConfig, make_optimizer, make_train_step)
+    from ct_diffusionmodelbench_tpu.models import get_config
+    from ct_diffusionmodelbench_tpu.train.trainer import TrainConfig
 
     cfg = get_config("llada-2b").replace(num_layers=6)
     tcfg = TrainConfig(learning_rate=5e-5, grad_accum=4, batch_size=1,
                        max_length=2048, remat=True)
-    params = init_params(cfg, jax.random.key(0))
-    jax.block_until_ready(params)
-    optimizer, _ = make_optimizer(tcfg, total_steps=100)
-    opt_state = optimizer.init(params)
-    step, _ = make_train_step(cfg, tcfg, optimizer)
+    return _sft_row(cfg, tcfg, "llada-2b arch, 6 layers (0.83B - largest "
+                               "dense fit w/ f32 Adam)")
 
-    A, B, L = 4, 1, 2048
-    ids = jax.random.randint(jax.random.key(1), (A, B, L), 10, 100_000)
-    plens = jnp.full((A, B), 64, jnp.int32)
-    key = jax.random.key(2)
 
-    params, opt_state, _ = step(params, opt_state, ids, plens, key)  # compile
-    jax.block_until_ready(params)
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
-        params, opt_state, m = step(params, opt_state, ids, plens, key)
-        np.asarray(m["loss"])
-        ts.append(time.time() - t0)
-    dt = float(np.median(ts))
-    nparams = sum(x.size for x in jax.tree.leaves(params))
-    flops = 6 * nparams * A * B * L          # fwd+bwd ~ 6ND
-    del params, opt_state
-    return {
-        "model": f"llada-2b arch, {cfg.num_layers} layers "
-                 f"({nparams/1e9:.2f}B - largest dense fit w/ f32 Adam)",
-        "seq_len": L, "effective_batch": A * B,
-        "seconds_per_step": round(dt, 3),
-        "samples_per_second_per_chip": round(A * B / dt, 3),
-        "tokens_per_second_per_chip": round(A * B * L / dt, 1),
-        "train_mfu": round(flops / dt / 197e12, 4),
-        "reference": "4.873 samples/s = 0.609/GPU for 8B SFT on 8x GH200 "
-                     "(NOV8_1kto21k training_metrics.json)",
-    }
+def bench_sft_int8_full2b():
+    """The optimizer-state knob in action: the FULL 22-layer llada-2b
+    (1.65B) — 2x the f32-Adam ceiling — trains on one chip with int8 Adam
+    moments (VERDICT r2 item 2)."""
+    from ct_diffusionmodelbench_tpu.models import get_config
+    from ct_diffusionmodelbench_tpu.train.trainer import TrainConfig
+
+    cfg = get_config("llada-2b")
+    tcfg = TrainConfig(learning_rate=5e-5, grad_accum=4, batch_size=1,
+                       max_length=2048, remat=True,
+                       optimizer_state_dtype="int8")
+    return _sft_row(cfg, tcfg, "llada-2b FULL 22 layers (1.65B, int8 Adam "
+                               "moments - 2x the f32-Adam ceiling)")
+
+
+def bench_sft_moe():
+    """MoE diffusion-SFT train step on the real chip (VERDICT r2 item 2):
+    the llada-moe-7b layer architecture (64 experts top-8 + shared, D=2048,
+    Fm=896, grouped Pallas FFN fwd + ragged bwd via custom_vjp) trimmed to
+    the deepest stack whose state fits one 16 GB chip with int8 Adam
+    moments.  The reference's flagship training run IS this MoE
+    (Training_0to1k/train.py:255-317, train_llada_moe_optimized.py)."""
+    import os
+
+    from ct_diffusionmodelbench_tpu.train.trainer import TrainConfig
+
+    tcfg = TrainConfig(learning_rate=5e-5, grad_accum=4, batch_size=1,
+                       max_length=2048, remat=True,
+                       optimizer_state_dtype="int8")
+    # Training wants the SCANNED layer path: the stacked-weights custom_vjp
+    # scatters a full-stack-sized cotangent per layer call (grouped_gemm.py
+    # _pallas_ffn_bwd note), while scan accumulates one stack-shaped grad.
+    os.environ["CTDB_MOE_STACKED"] = "0"
+    try:
+        return _bench_sft_moe_inner(tcfg)
+    finally:
+        os.environ.pop("CTDB_MOE_STACKED", None)
+
+
+def _bench_sft_moe_inner(tcfg):
+    from ct_diffusionmodelbench_tpu.models import get_config
+
+    last_err = None
+    for layers in (4, 3, 2):
+        cfg = get_config("llada-moe-7b").replace(num_layers=layers)
+        try:
+            row = _sft_row(
+                cfg, tcfg,
+                f"llada-moe-7b arch, {layers} layers "
+                f"({cfg.param_count()/1e9:.2f}B total / "
+                f"{cfg.active_param_count()/1e9:.2f}B active, int8 Adam)")
+            return row
+        except Exception as e:  # pool OOM: try a shallower stack
+            last_err = e
+            import gc
+            gc.collect()
+            time.sleep(150)  # axon HBM reclamation lag (CLAUDE.md)
+    raise last_err
 
 
 def main():
@@ -213,7 +298,9 @@ def main():
     for name, fn in (("attention_crossover", bench_attention_crossover),
                      ("grouped_gemm", bench_grouped_gemm),
                      ("dream_reference_config", bench_dream),
-                     ("sft_train_step", bench_sft)):
+                     ("sft_train_step", bench_sft),
+                     ("sft_train_step_int8_adam", bench_sft_int8_full2b),
+                     ("sft_train_step_moe", bench_sft_moe)):
         try:
             ledger[name] = fn()
         except Exception as e:  # keep the partial ledger (pool OOMs happen)

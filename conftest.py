@@ -35,6 +35,10 @@ if _want_reexec():
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
+    # Tests run with the loud out-of-vocab guard on (models/transformer.py):
+    # embedding gathers use mode="clip" in production, which would silently
+    # clamp a bad token id.
+    env.setdefault("CTDB_CHECK_VOCAB", "1")
     os.execve(
         sys.executable,
         [sys.executable, "-m", "pytest"] + sys.argv[1:],

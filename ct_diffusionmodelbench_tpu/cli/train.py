@@ -69,6 +69,20 @@ def build_parser():
                    help="Sequence-parallel mesh axis (ring attention; "
                         "activations shard over the sequence for "
                         "long-context runs — no reference analogue)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="Pipeline-parallel stages (GPipe over the layer "
+                        "stack; the real version of the reference's "
+                        "device_map='auto' layer spread, "
+                        "Training_0to1k/train.py:116-122; composes with "
+                        "--dp, exclusive with --tp/--sp)")
+    p.add_argument("--pp-microbatches", type=int, default=0,
+                   help="GPipe microbatches per step (0 = one per stage); "
+                        "batch-size must divide by it")
+    p.add_argument("--optimizer-state-dtype",
+                   choices=["float32", "bfloat16", "int8"], default="float32",
+                   help="Adam moment storage dtype (bfloat16/int8 shrink "
+                        "optimizer state 2x/4x to fit bigger models on one "
+                        "chip; float32 = reference adamw_torch semantics)")
     return p
 
 
@@ -140,6 +154,9 @@ def main(argv=None):
         dp=args.dp,
         tp=args.tp,
         sp=args.sp,
+        pp=args.pp,
+        pp_microbatches=args.pp_microbatches,
+        optimizer_state_dtype=args.optimizer_state_dtype,
     )
     trainer = Trainer(cfg, params, tc, tokenized_train,
                       eval_dataset=tokenized_val, tokenizer=tokenizer)

@@ -80,18 +80,31 @@ def attention(
     mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     causal: bool = False,
+    rope: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Dispatch to the Pallas flash kernel on TPU, jnp reference elsewhere.
+
+    ``rope=(cos, sin)`` ([B, S, Dh//2] each): q/k arrive UNROTATED; the
+    Pallas path fuses the rotation + cast into the kernel (no HBM
+    round-trip of the rotated tensors), every other path applies the
+    identical jnp rotation first — numerics are the same either way.
 
     The causal path (AR baseline models only) always uses the reference
     implementation — the Pallas kernel is specialized for the bidirectional
     diffusion hot loop.
     """
-    if not causal:
-        # Sequence-parallel meshes take the ring path regardless of impl:
+    def roped():
+        if rope is None:
+            return q, k
+        from ct_diffusionmodelbench_tpu.models.layers import apply_rope
+        return apply_rope(q, rope[0], rope[1]), apply_rope(k, rope[0], rope[1])
+
+    if not causal and impl == "auto":
+        # Sequence-parallel meshes take the ring path under auto dispatch:
         # only the ring keeps the sequence sharded through attention (any
         # dense impl would force GSPMD to all-gather the full S on-chip,
-        # defeating the point of the seq axis).
+        # defeating the point of the seq axis).  Explicit impl= wins so the
+        # numerics oracle stays forceable under an SP mesh.
         from ct_diffusionmodelbench_tpu.parallel.mesh import (
             current_mesh, seq_axis_size)
 
@@ -106,7 +119,8 @@ def attention(
             tp = mesh.shape[MODEL_AXIS]
             if (s % sp == 0 and b % mesh.shape[DATA_AXIS] == 0
                     and h % tp == 0 and kv % tp == 0):
-                return ring_attention(q, k, v, mask=mask, mesh=mesh)
+                qr, kr = roped()
+                return ring_attention(qr, kr, v, mask=mask, mesh=mesh)
     if impl == "auto":
         # Measured on v5e (llada-2b, fused sampler): XLA's fused attention
         # ties or beats the standalone Pallas kernel up to S≈1280 — the
@@ -122,19 +136,21 @@ def attention(
 
         mesh = current_mesh()
         if mesh is not None:
-            return _flash_sharded(q, k, v, mask, mesh)
+            return _flash_sharded(q, k, v, mask, mesh, rope=rope)
         from ct_diffusionmodelbench_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask=mask)
+        return flash_attention(q, k, v, mask=mask, rope=rope)
     if impl == "reference":
-        return attention_reference(q, k, v, mask=mask, causal=causal)
+        qr, kr = roped()
+        return attention_reference(qr, kr, v, mask=mask, causal=causal)
     raise ValueError(f"unknown attention impl {impl!r}")
 
 
-def _flash_sharded(q, k, v, mask, mesh):
+def _flash_sharded(q, k, v, mask, mesh, rope=None):
     """shard_map the flash kernel over the mesh: batch over 'data', heads
     over 'model'.  Attention is head-local, so no collectives are needed —
-    each shard runs the unmodified kernel on its local heads.  Falls back to
+    each shard runs the unmodified kernel on its local heads (rope tables
+    are head-independent, so they shard over 'data' only).  Falls back to
     the jnp reference when the head counts don't divide the model axis."""
     from functools import partial
 
@@ -148,16 +164,32 @@ def _flash_sharded(q, k, v, mask, mesh):
     b, _, h, _ = q.shape
     kv = k.shape[2]
     if h % tp or kv % tp or b % dp:
+        if rope is not None:
+            from ct_diffusionmodelbench_tpu.models.layers import apply_rope
+            q = apply_rope(q, rope[0], rope[1])
+            k = apply_rope(k, rope[0], rope[1])
         return attention_reference(q, k, v, mask=mask)
 
     if mask is None:
         mask = jnp.ones(q.shape[:2], jnp.int32)
     spec_qkv = P(DATA_AXIS, None, MODEL_AXIS, None)
+    spec_bs = P(DATA_AXIS, None)
+    if rope is None:
+        f = jax.shard_map(
+            partial(flash_attention),
+            mesh=mesh,
+            in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_bs),
+            out_specs=spec_qkv,
+            check_vma=False,  # pallas_call outputs carry no vma annotation
+        )
+        return f(q, k, v, mask)
+    spec_rope = P(DATA_AXIS, None, None)
     f = jax.shard_map(
-        partial(flash_attention),
+        lambda q_, k_, v_, m_, c_, s_: flash_attention(
+            q_, k_, v_, mask=m_, rope=(c_, s_)),
         mesh=mesh,
-        in_specs=(spec_qkv, spec_qkv, spec_qkv, P(DATA_AXIS, None)),
+        in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_bs, spec_rope, spec_rope),
         out_specs=spec_qkv,
-        check_vma=False,  # pallas_call outputs carry no vma annotation
+        check_vma=False,
     )
-    return f(q, k, v, mask)
+    return f(q, k, v, mask, rope[0], rope[1])

@@ -38,18 +38,45 @@ DEFAULT_TK = 512
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *maybe_lse,
-                  scale, tk, s_pad, with_lse):
-    lse_ref = maybe_lse[0] if with_lse else None
+def _rope_rows(x, cos, sin):
+    """In-kernel rotate-half RoPE on a [T, Dh] tile (f32 math, caller casts).
+
+    cos/sin: [T, Dh//2].  Identical formulation to models/layers.apply_rope,
+    so the fused path is bit-equal to the jnp rope + kernel composition."""
+    half = x.shape[-1] // 2
+    x1 = x[:, :half].astype(jnp.float32)
+    x2 = x[:, half:].astype(jnp.float32)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def _flash_kernel(*refs, scale, tk, s_pad, with_lse, with_rope):
+    # Ref order: q, k, v, bias[, cos_q, sin_q, cos_k, sin_k], o[, lse].
+    if with_rope:
+        (q_ref, k_ref, v_ref, bias_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+         *outs) = refs
+    else:
+        q_ref, k_ref, v_ref, bias_ref, *outs = refs
+    o_ref = outs[0]
+    lse_ref = outs[1] if with_lse else None
     # Blocks are [1, T, Dh] column slices of the flat [B, S_pad, H*Dh]
     # layout: trailing dims (T, Dh) satisfy Mosaic's (8, 128) tiling.
     q = q_ref[0, :, :]  # [TQ, Dh]
+    if with_rope:
+        # Fused RoPE + cast: q/k arrive unrotated, the rotation runs on the
+        # f32 tile in VMEM and casts straight to the MXU input dtype — the
+        # separate XLA rope fusion's HBM round-trip of roped q/k disappears
+        # (VERDICT r2 weak 3 / STATUS gap 4).
+        q = _rope_rows(q, cq_ref[0], sq_ref[0]).astype(q_ref.dtype)
     tq, dh = q.shape
     nk = s_pad // tk
 
     def body(j, carry):
         acc, m, l = carry
         k_blk = k_ref[0, pl.ds(j * tk, tk), :]             # [TK, Dh]
+        if with_rope:
+            k_blk = _rope_rows(
+                k_blk, ck_ref[0, pl.ds(j * tk, tk), :],
+                sk_ref[0, pl.ds(j * tk, tk), :]).astype(k_ref.dtype)
         v_blk = v_ref[0, pl.ds(j * tk, tk), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
@@ -102,8 +129,14 @@ def flash_attention(
     mask: Optional[jnp.ndarray] = None,
     tile_q: int = DEFAULT_TQ,
     tile_k: int = DEFAULT_TK,
+    rope: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """q: [B, S, H, Dh]; k, v: [B, S, KV, Dh]; mask: [B, S] (1 = real).
+
+    ``rope=(cos, sin)`` (each [B, S, Dh//2] f32): q/k arrive UNROTATED and
+    the rotate-half RoPE + cast runs inside the kernel — numerically
+    identical to ``apply_rope`` followed by the no-rope kernel, minus the
+    HBM round-trip of the rotated tensors.
 
     Returns [B, S, H, Dh] in q.dtype.  Numerics oracle:
     ops.attention.attention_reference (asserted in tests).  Differentiable.
@@ -122,7 +155,18 @@ def flash_attention(
     valid = jnp.pad(valid, ((0, 0), (0, sk_pad - s)))
     bias = jnp.where(valid > 0, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
-    of = _flash_core(h, kv, dh, tq, tk, qf, kf, vf, bias)
+    if rope is None:
+        of = _flash_core(h, kv, dh, tq, tk, qf, kf, vf, bias)
+    else:
+        cos, sin = rope
+        cos = cos.astype(jnp.float32)
+        sin = sin.astype(jnp.float32)
+        cq = jnp.pad(cos, ((0, 0), (0, sq_pad - s), (0, 0)))
+        sq = jnp.pad(sin, ((0, 0), (0, sq_pad - s), (0, 0)))
+        ck = jnp.pad(cos, ((0, 0), (0, sk_pad - s), (0, 0)))
+        sk = jnp.pad(sin, ((0, 0), (0, sk_pad - s), (0, 0)))
+        of = _flash_core_rope(h, kv, dh, tq, tk, qf, kf, vf, bias,
+                              cq, sq, ck, sk)
     return of[:, :s].reshape(b, s, h, dh)
 
 
@@ -134,15 +178,27 @@ def _flash_core(h, kv, dh, tq, tk, qf, kf, vf, bias):
     return of
 
 
-def _run_forward(h, kv, dh, tq, tk, qf, kf, vf, bias, with_lse):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _flash_core_rope(h, kv, dh, tq, tk, qf, kf, vf, bias, cq, sq, ck, sk):
+    """Fused-RoPE core: qf/kf unrotated; cq/sq [B,Sq,Dh//2], ck/sk
+    [B,Sk,Dh//2]."""
+    of, _ = _run_forward(h, kv, dh, tq, tk, qf, kf, vf, bias, with_lse=False,
+                         rope_flat=(cq, sq, ck, sk))
+    return of
+
+
+def _run_forward(h, kv, dh, tq, tk, qf, kf, vf, bias, with_lse,
+                 rope_flat=None):
     b, sq_pad, _ = qf.shape
     sk_pad = kf.shape[1]
     rep = h // kv
     scale = dh ** -0.5
+    with_rope = rope_flat is not None
 
     grid = (b, h, sq_pad // tq)
     kernel = functools.partial(_flash_kernel, scale=scale, tk=tk,
-                               s_pad=sk_pad, with_lse=with_lse)
+                               s_pad=sk_pad, with_lse=with_lse,
+                               with_rope=with_rope)
     o_spec = pl.BlockSpec((1, tq, dh), lambda bi, hi, qi: (bi, qi, hi),
                           memory_space=pltpu.VMEM)
     out_specs, out_shape = o_spec, jax.ShapeDtypeStruct((b, sq_pad, h * dh), qf.dtype)
@@ -156,19 +212,35 @@ def _run_forward(h, kv, dh, tq, tk, qf, kf, vf, bias, with_lse):
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((b * h, sq_pad, 1), jnp.float32))
 
+    in_specs = [
+        pl.BlockSpec((1, tq, dh), lambda bi, hi, qi: (bi, qi, hi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sk_pad, dh), lambda bi, hi, qi: (bi, 0, hi // rep),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sk_pad, dh), lambda bi, hi, qi: (bi, 0, hi // rep),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qf, kf, vf, bias]
+    if with_rope:
+        half = dh // 2
+        in_specs += [
+            pl.BlockSpec((1, tq, half), lambda bi, hi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, half), lambda bi, hi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, half), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, half), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += list(rope_flat)
+
     result = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tq, dh), lambda bi, hi, qi: (bi, qi, hi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, dh), lambda bi, hi, qi: (bi, 0, hi // rep),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, dh), lambda bi, hi, qi: (bi, 0, hi // rep),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -177,7 +249,7 @@ def _run_forward(h, kv, dh, tq, tk, qf, kf, vf, bias, with_lse):
             transcendentals=b * h * sq_pad * sk_pad,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(qf, kf, vf, bias)
+    )(*operands)
 
     if with_lse:
         return result
@@ -203,3 +275,46 @@ def _core_bwd(h, kv, dh, tq, tk, res, g):
 
 
 _flash_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _rope_flat(x, cos, sin, heads, sign=1.0):
+    """Rotate-half RoPE on a flat [B, S, heads*Dh] tensor (f32 math);
+    ``sign=-1`` applies the inverse rotation (the transpose — RoPE is
+    orthogonal per pair), used to rotate gradients back."""
+    b, s_, hd = x.shape
+    half = cos.shape[-1]
+    xs = x.reshape(b, s_, heads, 2 * half)
+    x1 = xs[..., :half].astype(jnp.float32)
+    x2 = xs[..., half:].astype(jnp.float32)
+    c = cos[:, :, None, :]
+    sn = sin[:, :, None, :] * sign
+    out = jnp.concatenate([x1 * c - x2 * sn, x2 * c + x1 * sn], axis=-1)
+    return out.reshape(b, s_, hd).astype(x.dtype)
+
+
+def _core_rope_fwd(h, kv, dh, tq, tk, qf, kf, vf, bias, cq, sq, ck, sk):
+    of, lse = _run_forward(h, kv, dh, tq, tk, qf, kf, vf, bias, with_lse=True,
+                           rope_flat=(cq, sq, ck, sk))
+    return of, (qf, kf, vf, bias, of, lse, cq, sq, ck, sk)
+
+
+def _core_rope_bwd(h, kv, dh, tq, tk, res, g):
+    from ct_diffusionmodelbench_tpu.ops.flash_attention_bwd import flash_attention_bwd
+
+    qf, kf, vf, bias, of, lse, cq, sq, ck, sk = res
+    # Rematerialize the rotated q/k (flash-style recompute trade), run the
+    # standard backward, then rotate dq/dk back through the inverse rotation
+    # (RoPE is orthogonal: d(unrotated) = R^T d(rotated)).
+    q_rot = _rope_flat(qf, cq, sq, h)
+    k_rot = _rope_flat(kf, ck, sk, kv)
+    dq, dk, dv = flash_attention_bwd(
+        q_rot, k_rot, vf, bias, of, g.astype(qf.dtype), lse,
+        h=h, kv=kv, dh=dh, scale=dh ** -0.5, tq=tq, tk=tk)
+    dq = _rope_flat(dq, cq, sq, h, sign=-1.0)
+    dk = _rope_flat(dk, ck, sk, kv, sign=-1.0)
+    zeros = jnp.zeros_like
+    return (dq.astype(qf.dtype), dk.astype(kf.dtype), dv.astype(vf.dtype),
+            zeros(bias), zeros(cq), zeros(sq), zeros(ck), zeros(sk))
+
+
+_flash_core_rope.defvjp(_core_rope_fwd, _core_rope_bwd)

@@ -61,6 +61,11 @@ def grouped_expert_ffn(
     # tools/profile_moe.py), and it is the only backend that can consume the
     # stacked [L, E, D, Fm] weights without a per-layer slice copy.
     # CTDB_GROUPED_GEMM=pallas|ragged forces a backend.
+    if we_gate.ndim == 4 and layer_index is None:
+        raise ValueError(
+            "stacked [L, E, D, Fm] expert weights require layer_index "
+            "(defaulting to layer 0 would silently compute with the wrong "
+            "layer's experts)")
     choice = os.environ.get("CTDB_GROUPED_GEMM")
     if choice is None:
         choice = "pallas" if jax.default_backend() == "tpu" else "ragged"

@@ -199,6 +199,7 @@ def grouped_gateup_padded(
         _gmm_gateup_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, f_pad), x_padded.dtype),
+        compiler_params=_pair_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * d * f_pad,
             bytes_accessed=(x_padded.size + m_pad * f_pad) * x_padded.dtype.itemsize
@@ -210,21 +211,39 @@ def grouped_gateup_padded(
     return out[:, :f]
 
 
+def _vmem_budget_bytes() -> int:
+    """Scoped-VMEM budget for the two-kernel pipeline's working set.
+
+    Default stays just under Mosaic's 16 MB default scoped window (the
+    calibrated anchors below).  ``CTDB_GROUPED_VMEM_MB`` raises it — v5e has
+    128 MB of physical VMEM and pallas_call forwards the budget via
+    ``CompilerParams(vmem_limit_bytes=...)``, enabling wider row tiles at
+    full-width n-tiles (the tile_m=128 configuration that the default
+    window rejects)."""
+    mb = os.environ.get("CTDB_GROUPED_VMEM_MB")
+    if mb:
+        return int(float(mb) * (1 << 20))
+    return (15 << 20) + (256 << 10)
+
+
 def _pick_tile_n(f_pad: int, d: int, itemsize: int, tile_m: int = TILE_M,
                  n_weights: int = 1,
-                 limit_bytes: int = (15 << 20) + (256 << 10)) -> int:
+                 limit_bytes: Optional[int] = None) -> int:
     """Widest 128-multiple n-tile whose whole working set fits scoped VMEM.
 
     Wider tiles mean fewer n passes over the rows (each re-streams every x
     row tile) and fewer weight re-fetches per expert, but every block is
-    double-buffered by Mosaic against the 16 MB v5e scoped-VMEM limit.
-    Working set per grid step: ``n_weights`` weight blocks [D, tile_n] ×2,
-    the x row tile [tile_m, D] ×2, the out tile ×2.  The limit is
-    calibrated against two measured anchors at (D=2048, tile_n=896,
-    2 weights): tile_m=64 (model 15.44 MB) compiles, tile_m=128 (model
-    16.19 MB) overflows Mosaic's 16 MB scoped stack by 332 KB — so the
-    cutoff sits between them; Mosaic's true stack bookkeeping adds
-    overhead this model intentionally absorbs into the margin."""
+    double-buffered by Mosaic against the scoped-VMEM budget
+    (:func:`_vmem_budget_bytes`).  Working set per grid step: ``n_weights``
+    weight blocks [D, tile_n] ×2, the x row tile [tile_m, D] ×2, the out
+    tile ×2.  The default limit is calibrated against two measured anchors
+    at (D=2048, tile_n=896, 2 weights): tile_m=64 (model 15.44 MB) compiles
+    under the 16 MB default window, tile_m=128 (model 16.19 MB) overflows
+    it by 332 KB — so the cutoff sits between them; Mosaic's true stack
+    bookkeeping adds overhead this model intentionally absorbs into the
+    margin."""
+    if limit_bytes is None:
+        limit_bytes = _vmem_budget_bytes()
     fixed = 2 * tile_m * d * itemsize
     best = 128
     tile_n = 128
@@ -235,6 +254,15 @@ def _pick_tile_n(f_pad: int, d: int, itemsize: int, tile_m: int = TILE_M,
             best = tile_n
         tile_n += 128
     return best
+
+
+def _pair_compiler_params():
+    """Forward a raised scoped-VMEM budget to Mosaic when the env knob asks
+    for one; None keeps the default 16 MB window."""
+    budget = _vmem_budget_bytes()
+    if budget <= (16 << 20):
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=budget + (2 << 20))
 
 
 def grouped_matmul_padded(
@@ -282,6 +310,7 @@ def grouped_matmul_padded(
         _gmm_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, f_pad), x_padded.dtype),
+        compiler_params=_pair_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * d * f_pad,
             bytes_accessed=(x_padded.size + m_pad * f_pad) * x_padded.dtype.itemsize
@@ -314,6 +343,10 @@ def grouped_expert_ffn_pallas(
     k = topk_idx.shape[1]
     e = we_gate.shape[-3]
     m = n * k
+
+    env_tm = os.environ.get("CTDB_GROUPED_TILE_M")
+    if env_tm:
+        tile_m = int(env_tm)
 
     # Sort-free layout: counting_layout maps every routing slot straight to
     # its padded row (argsort was the dominant per-layer cost at M=20480).

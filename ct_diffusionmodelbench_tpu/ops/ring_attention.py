@@ -81,16 +81,18 @@ def ring_attention_local(q, k, v, mask=None, *, axis_name: str, axis_size: int):
     o0 = jnp.zeros(q.shape[:3] + (v.shape[-1],), jnp.float32)
     lse0 = jnp.full(q.shape[:3], NEG_INF, jnp.float32)
 
-    def step(carry, _):
-        o, lse, k_c, v_c, b_c = carry
-        o_i, lse_i = _chunk_attention(q, k_c, v_c, b_c)
+    def combine(o, lse, o_i, lse_i):
         # Online-softmax combine of two normalized partial results.
         m = jnp.maximum(lse, lse_i)
         w_old = jnp.exp(lse - m)
         w_new = jnp.exp(lse_i - m)
         denom = jnp.maximum(w_old + w_new, 1e-30)
         o = (o * w_old[..., None] + o_i * w_new[..., None]) / denom[..., None]
-        lse = m + jnp.log(denom)
+        return o, m + jnp.log(denom)
+
+    def step(carry, _):
+        o, lse, k_c, v_c, b_c = carry
+        o, lse = combine(o, lse, *_chunk_attention(q, k_c, v_c, b_c))
         # Rotate the KV shard to the next device; compute of step t overlaps
         # the transfer for step t+1 under XLA's async collective scheduling.
         k_c = jax.lax.ppermute(k_c, axis_name, perm)
@@ -98,8 +100,11 @@ def ring_attention_local(q, k, v, mask=None, *, axis_name: str, axis_size: int):
         b_c = jax.lax.ppermute(b_c, axis_name, perm)
         return (o, lse, k_c, v_c, b_c), None
 
-    (o, lse, _, _, _), _ = jax.lax.scan(
-        step, (o0, lse0, k, v, bias), None, length=axis_size)
+    # Only the first n-1 steps rotate: the last chunk is folded outside the
+    # scan, so no device pays a final ICI hop whose result is discarded.
+    (o, lse, k_l, v_l, b_l), _ = jax.lax.scan(
+        step, (o0, lse0, k, v, bias), None, length=axis_size - 1)
+    o, lse = combine(o, lse, *_chunk_attention(q, k_l, v_l, b_l))
     return o.astype(q.dtype)
 
 

@@ -114,15 +114,18 @@ def make_sharded_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
         # sharding — TP stays active, DP is simply unused for that call.
         # Forcing P('data') unconditionally raised a pjit divisibility
         # error and killed the run.
-        batch_spec = P(DATA_AXIS) if batch_sharded else P()
+        # Explicit per-dim entries: a P() batch spec must not collapse and
+        # shift the seq axis onto the batch dim (dim positions are
+        # load-bearing; None = replicated batch for non-divisible tails).
+        batch_entry = DATA_AXIS if batch_sharded else None
         # Sequence-parallel meshes keep the sequence dim sharded through the
         # forward (ring attention handles the cross-shard softmax).
         seq_ax = SEQ_AXIS if seq_sharded else None
-        dshard = NamedSharding(mesh, P(*batch_spec, seq_ax))
+        dshard = NamedSharding(mesh, P(batch_entry, seq_ax))
         # Sliced-head outputs ([B, logit_length, V]) are block-sized, not
         # ring-aligned — replicate their seq dim.
         logits_shard = NamedSharding(
-            mesh, P(*batch_spec, seq_ax if logit_length is None else None,
+            mesh, P(batch_entry, seq_ax if logit_length is None else None,
                     MODEL_AXIS))
 
         @partial(

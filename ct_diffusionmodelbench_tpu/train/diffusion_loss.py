@@ -64,6 +64,7 @@ def diffusion_sft_loss(
     eps: float = 1e-3,
     attn_mask: Optional[jnp.ndarray] = None,
     mask_variant: str = "recompute",
+    row_mask: Optional[jnp.ndarray] = None,
 ):
     """Scalar loss + metrics dict.
 
@@ -71,7 +72,13 @@ def diffusion_sft_loss(
     where the model actually sees mask_id) or 'pre_restore' (the 1kto21k
     script's behavior: reuse the pre-prompt-restore mask, i.e. also train on
     restored prompt tokens with 1/p_mask weight) — provided so loss curves
-    from 1kto21k-trained checkpoints can be reproduced exactly."""
+    from 1kto21k-trained checkpoints can be reproduced exactly.
+
+    ``row_mask`` ([B] f32, 1 = real row): eval tail batches are padded to a
+    fixed batch size so mesh placement stays deterministic and the jitted
+    step never recompiles per tail shape; pad rows carry 0 and drop out of
+    the loss exactly (the divisor becomes sum(row_mask), which equals B for
+    an all-real batch — bit-identical to the unpadded computation)."""
     if mask_variant not in ("recompute", "pre_restore"):
         raise ValueError(f"unknown mask_variant {mask_variant!r}")
     b, l = input_ids.shape
@@ -103,7 +110,11 @@ def diffusion_sft_loss(
     token_loss = token_loss / p_mask / answer_lengths[:, None]
 
     w = masked.astype(jnp.float32)
-    loss = jnp.sum(token_loss * w) / b
+    denom = jnp.float32(b)
+    if row_mask is not None:
+        w = w * row_mask.astype(jnp.float32)[:, None]
+        denom = jnp.maximum(jnp.sum(row_mask.astype(jnp.float32)), 1.0)
+    loss = jnp.sum(token_loss * w) / denom
     n_masked = jnp.sum(w)
 
     if aux_coef:

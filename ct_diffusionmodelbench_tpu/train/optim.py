@@ -1,0 +1,144 @@
+"""AdamW with reduced-precision moment state (bf16 / blockwise-int8).
+
+The reference trains with HF `adamw_torch` and full f32 moments
+(Training/Training_0to1k/train.py:448), which on one v5e chip caps the
+trainable dense model at ~0.83B params (f32 params + 2x f32 moments + grads
+= 16 B/param transient).  This module stores Adam's mu/nu in
+
+- ``bfloat16`` — straight cast, 2x state shrink, or
+- ``int8``    — blockwise linear quantization (per-256-value f32 absmax
+  scale, the bitsandbytes-style layout), 4x state shrink
+
+while every *update* is computed in f32 (dequantize -> Adam math ->
+requantize), so the optimizer dynamics stay close to f32 Adam; the oracle
+test pins tiny-model loss trajectories across all three dtypes.
+
+The transformation mirrors ``optax.adamw`` = scale_by_adam +
+add_decayed_weights(mask) + scale_by_learning_rate, with identical bias
+correction, so ``state_dtype='float32'`` is exactly optax.adamw.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+QUANT_BLOCK = 256
+
+
+class Quantized(NamedTuple):
+    """Blockwise linear-quantized tensor: q int8 [Nb, B], scale f32 [Nb, 1],
+    plus the original shape captured by ``meta`` (a zero-size f32 array whose
+    shape is the unquantized shape — keeps the pytree leaf-only)."""
+    q: jnp.ndarray
+    scale: jnp.ndarray
+    meta: jnp.ndarray
+
+
+def quantize_int8(x: jnp.ndarray, block: int = QUANT_BLOCK) -> Quantized:
+    flat = x.astype(jnp.float32).reshape(-1)
+    n = flat.shape[0]
+    pad = (-n) % block
+    flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, block)
+    absmax = jnp.max(jnp.abs(blocks), axis=1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(blocks / scale), -127, 127).astype(jnp.int8)
+    meta = jnp.zeros((0,) + tuple(x.shape), jnp.float32)
+    return Quantized(q=q, scale=scale, meta=meta)
+
+
+def dequantize_int8(t: Quantized) -> jnp.ndarray:
+    shape = t.meta.shape[1:]
+    n = 1
+    for d in shape:
+        n *= d
+    flat = (t.q.astype(jnp.float32) * t.scale).reshape(-1)[:n]
+    return flat.reshape(shape)
+
+
+def _encode(x: jnp.ndarray, dtype: str):
+    if dtype == "int8":
+        return quantize_int8(x)
+    if dtype == "bfloat16":
+        return x.astype(jnp.bfloat16)
+    return x.astype(jnp.float32)
+
+
+def _decode(t, dtype: str) -> jnp.ndarray:
+    if dtype == "int8":
+        return dequantize_int8(t)
+    return jnp.asarray(t, jnp.float32)
+
+
+class ScaleByAdamLowpState(NamedTuple):
+    count: chex.Array
+    mu: chex.ArrayTree
+    nu: chex.ArrayTree
+
+
+def scale_by_adam_lowp(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    state_dtype: str = "float32",
+) -> optax.GradientTransformation:
+    """optax ``scale_by_adam`` with mu/nu stored in ``state_dtype``."""
+    if state_dtype not in ("float32", "bfloat16", "int8"):
+        raise ValueError(f"unknown optimizer state dtype {state_dtype!r}")
+
+    def init_fn(params):
+        def zeros():
+            return jax.tree.map(
+                lambda p: _encode(jnp.zeros(p.shape, jnp.float32),
+                                  state_dtype), params)
+        return ScaleByAdamLowpState(
+            count=jnp.zeros([], jnp.int32), mu=zeros(), nu=zeros())
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+
+        def leaf(g, mu_q, nu_q):
+            g = g.astype(jnp.float32)
+            mu = b1 * _decode(mu_q, state_dtype) + (1.0 - b1) * g
+            nu = b2 * _decode(nu_q, state_dtype) + (1.0 - b2) * g * g
+            mu_hat = mu / (1.0 - b1 ** count.astype(jnp.float32))
+            nu_hat = nu / (1.0 - b2 ** count.astype(jnp.float32))
+            upd = mu_hat / (jnp.sqrt(nu_hat) + eps)
+            return upd, _encode(mu, state_dtype), _encode(nu, state_dtype)
+
+        flat_g, treedef = jax.tree.flatten(updates)
+        flat_mu = treedef.flatten_up_to(state.mu) \
+            if state_dtype == "int8" else jax.tree.leaves(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu) \
+            if state_dtype == "int8" else jax.tree.leaves(state.nu)
+        outs = [leaf(g, m, n) for g, m, n in zip(flat_g, flat_mu, flat_nu)]
+        new_updates = treedef.unflatten([o[0] for o in outs])
+        new_mu = treedef.unflatten([o[1] for o in outs])
+        new_nu = treedef.unflatten([o[2] for o in outs])
+        return new_updates, ScaleByAdamLowpState(count=count, mu=new_mu,
+                                                 nu=new_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamw_lowp(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    mask=None,
+    state_dtype: str = "float32",
+) -> optax.GradientTransformation:
+    """Drop-in for ``optax.adamw`` with a moment-state dtype knob."""
+    return optax.chain(
+        scale_by_adam_lowp(b1=b1, b2=b2, eps=eps, state_dtype=state_dtype),
+        optax.add_decayed_weights(weight_decay, mask),
+        optax.scale_by_learning_rate(learning_rate),
+    )

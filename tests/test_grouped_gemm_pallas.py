@@ -54,6 +54,17 @@ def test_padded_layout_invariants():
         assert te[row // 8] == g, (row, g)
 
 
+def test_stacked_weights_require_layer_index():
+    """4-D [L, E, D, Fm] stacks without layer_index must fail loudly instead
+    of silently computing with layer 0's experts (ADVICE r2)."""
+    from ct_diffusionmodelbench_tpu.ops.grouped_gemm import grouped_expert_ffn
+
+    x, tp, ti, wg, wu, wd = _setup(N=16, D=64, E=4, Fm=64, K=2)
+    wg4, wu4, wd4 = (jnp.stack([w, w]) for w in (wg, wu, wd))
+    with pytest.raises(ValueError, match="layer_index"):
+        grouped_expert_ffn(x, tp, ti, wg4, wu4, wd4)
+
+
 def test_jit_and_grad_compatible():
     """The kernel path must trace under jit (used inside the MoE block)."""
     x, tp, ti, wg, wu, wd = _setup(N=16, D=64, E=4, Fm=64, K=2)

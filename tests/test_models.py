@@ -151,3 +151,12 @@ def test_remat_forward_matches(tiny_dense):
     a, _ = forward(cfg, params, ids, remat=False)
     b, _ = forward(cfg, params, ids, remat=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_out_of_vocab_ids_raise_under_debug_guard(tiny_dense):
+    """CTDB_CHECK_VOCAB=1 (set by conftest) makes the mode="clip" embedding
+    gather loud on out-of-range ids instead of silently clamping (ADVICE r2)."""
+    cfg, params, fwd = tiny_dense
+    bad = jnp.full((1, 8), cfg.vocab_size + 5, jnp.int32)
+    with pytest.raises(ValueError, match="token id out of range"):
+        np.asarray(fwd(params, bad)[0])

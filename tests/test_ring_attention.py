@@ -87,6 +87,25 @@ def test_dispatcher_falls_back_on_indivisible_seq():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_explicit_impl_wins_under_seq_mesh(monkeypatch):
+    """impl="reference" (the numerics oracle) must stay forceable under an
+    SP mesh — the ring path only fires on impl="auto" (ADVICE r2)."""
+    import ct_diffusionmodelbench_tpu.ops.ring_attention as ra
+
+    mesh = make_mesh(data=1, seq=2, model=1)
+    q, k, v = _qkv(jax.random.key(6), s=64)
+
+    def _boom(*a, **kw):
+        raise AssertionError("ring path taken despite explicit impl")
+
+    monkeypatch.setattr(ra, "ring_attention", _boom)
+    want = attention_reference(q, k, v)
+    with use_mesh(mesh):
+        got = attention(q, k, v, impl="reference")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_full_forward_under_seq_mesh():
     """End-to-end model forward with activations sharded over (data, seq)."""
     from jax.sharding import NamedSharding, PartitionSpec as P

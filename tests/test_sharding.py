@@ -72,6 +72,28 @@ def test_sharded_params_are_distributed():
     assert shard_shape[-1] == wq.shape[-1] // 4
 
 
+def test_tail_batch_under_dp_sp_mesh():
+    """Batch not divisible by dp under a dp2 x sp2 x tp2 mesh: the tail path
+    must replicate the batch dim (not silently shard batch over 'seq' —
+    ADVICE r2 medium) and still match the single-device forward."""
+    cfg = get_config("llada-tiny", dtype="float32")
+    params = init_params(cfg, jax.random.key(0))
+    ids = jax.random.randint(jax.random.key(7), (3, 16), 3, cfg.vocab_size - 2)
+
+    ref, _ = make_forward_fn(cfg.replace(attn_impl="reference"))(params, ids)
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    sharded_params = shard_params(cfg, params, mesh)
+    fwd = make_sharded_forward(cfg, mesh)
+    out, _ = fwd(sharded_params, ids)
+
+    # The batch dim of the output must not be sharded (replicated tail).
+    spec = out.sharding.spec
+    assert spec[0] is None, spec
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_sharded_sampler_end_to_end():
     """The full fused denoise loop jitted over the mesh."""
     from ct_diffusionmodelbench_tpu.sampling import llada_generate

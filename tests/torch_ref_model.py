@@ -272,3 +272,17 @@ class TorchTinyLM(nn.Module):
             for name in ("gate_proj", "up_proj", "down_proj"):
                 out[pre + f"mlp.{name}.weight"] = getattr(layer, name).weight
         return {k: v.detach().cpu().numpy() for k, v in out.items()}
+
+
+class TorchTinyDreamLM(TorchTinyLM):
+    """Qwen2.5-derived Dream/DiffuCoder forward: QKV bias (o_proj stays
+    bias-free), GQA, and the shifted-logit head convention where position
+    i-1's logits predict token i — the token shift the reference delegates
+    to remote-code ``diffusion_generate``
+    (Pre-Trained/bench_models/dream.py:70-110).  Position 0 keeps its own
+    logits (no left neighbor) — the shift-at-position-0 convention is a named
+    parity risk (docs/PARITY.md §3)."""
+
+    def forward(self, ids):
+        logits = super().forward(ids)
+        return torch.cat([logits[:, :1], logits[:, :-1]], dim=1)
