@@ -370,19 +370,50 @@ def grouped_expert_ffn_pallas(
     # 1.13) bench shapes — the pair stays the default; the megakernel is
     # kept as a tested alternative for shapes where h-round-trip dominates.
     fm = we_gate.shape[-1]
-    fused = (os.environ.get("CTDB_GROUPED_FUSED", "0") == "1"
-             and d % 128 == 0 and fm % 128 == 0)
+    aligned = d % 128 == 0 and fm % 128 == 0
+    fused = os.environ.get("CTDB_GROUPED_FUSED", "0") == "1" and aligned
+    # CTDB_GROUPED_MANUAL: "1" = manual-DMA pair (gate/up + down both with
+    # NSLOTS weight pipelining), "gateup" = manual gate/up + auto down,
+    # "0" = auto-pipelined pair.  Default measured on-chip at the batch-8
+    # bench shape (tools/xprof_sweep_r3.py, inclusive loop ms/layer):
+    # auto+gather 2.78, manual-both+kloop 2.35 — with the kloop combine the
+    # down output no longer needs XLA's VMEM-prefetched unsort gather, so
+    # manual-down's tighter VMEM budget stopped costing anything.
+    manual = os.environ.get("CTDB_GROUPED_MANUAL", "1")
+    if not aligned:
+        manual = "0"
     if fused:
         out_padded = grouped_ffn_fused_padded(
             xs_padded, we_gate, we_up, we_down, tile_expert, tile_m,
             layer_index=layer_index)
     else:
-        h = grouped_gateup_padded(xs_padded, we_gate, we_up, tile_expert,
-                                  tile_m, layer_index=layer_index)
-        out_padded = grouped_matmul_padded(h, we_down, tile_expert, tile_m,
-                                           layer_index=layer_index)
+        if manual in ("1", "gateup"):
+            h = grouped_gateup_manual(xs_padded, we_gate, we_up, tile_expert,
+                                      tile_m, layer_index=layer_index)
+        else:
+            h = grouped_gateup_padded(xs_padded, we_gate, we_up, tile_expert,
+                                      tile_m, layer_index=layer_index)
+        if manual == "1":
+            out_padded = grouped_matmul_manual(h, we_down, tile_expert,
+                                               tile_m,
+                                               layer_index=layer_index)
+        else:
+            out_padded = grouped_matmul_padded(h, we_down, tile_expert,
+                                               tile_m,
+                                               layer_index=layer_index)
 
-    # slot (natural (token, k) order) → its padded row: gather + reshape-sum.
+    # slot (natural (token, k) order) → its padded row.  Two formulations:
+    # - "kloop" (default): K accumulated gathers of [N, D] — XLA fuses each
+    #   take+scale+add, so the [M, D] slot matrix is never materialized
+    #   (saves its write + re-read, ~170 MB/layer at the batch-8 bench shape)
+    # - "gather": one [M, D] gather + reshape-sum (the round-2 formulation)
+    if os.environ.get("CTDB_GROUPED_COMBINE", "kloop") == "kloop":
+        dest_k = dest.reshape(n, k)
+        out = jnp.zeros((n, d), jnp.float32)
+        for kk in range(k):
+            rows = jnp.take(out_padded, dest_k[:, kk], axis=0, mode="clip")
+            out = out + rows.astype(jnp.float32) * topk_probs[:, kk][:, None]
+        return out.astype(x.dtype)
     out_slots = jnp.take(out_padded, dest, axis=0, mode="clip")
     contrib = out_slots.astype(jnp.float32).reshape(n, k, d) \
         * topk_probs[..., None]
@@ -574,6 +605,237 @@ def grouped_ffn_fused_padded(
         ),
         interpret=jax.default_backend() != "tpu",
     )(*scalars, xs_padded, we_gate, we_up, we_down)
+
+
+# ---------------------------------------------------------------------------
+# Manual-DMA pair kernels (gate/up and down with NSLOTS weight pipelining)
+# ---------------------------------------------------------------------------
+# Round-3 on-chip attribution (tools/xprof_unrolled_r3.py, batch 8): the
+# auto-pipelined pair kernels spend gate/up 1.52 ms vs a 0.76 ms compute
+# floor and down 0.79 vs 0.38 — ~1.2 ms/layer of expert-boundary weight-DMA
+# stall, because Mosaic's one-step lookahead can't hide a 7.3 MB expert
+# fetch behind one 2.4 us row tile.  These variants keep the TWO-kernel
+# structure (whose XLA epilogue fusions the megakernel measurably loses)
+# but adopt its NSLOTS manual weight double-buffer: each expert's weights
+# are requested two runs ahead, so a whole run's compute hides the fetch.
+
+
+def _gateup_manual_kernel(*refs, stacked: bool):
+    if stacked:
+        (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref, li_ref,
+         x_ref, wg_hbm, wu_hbm, h_ref, wg_buf, wu_buf, sems) = refs
+    else:
+        (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref,
+         x_ref, wg_hbm, wu_hbm, h_ref, wg_buf, wu_buf, sems) = refs
+        li_ref = None
+
+    i = pl.program_id(0)
+    slot = slot_ref[i]
+
+    def copies(e, s):
+        def src(w_hbm):
+            return w_hbm.at[li_ref[0], e] if stacked else w_hbm.at[e]
+        return (
+            pltpu.make_async_copy(src(wg_hbm), wg_buf.at[s], sems.at[s, 0]),
+            pltpu.make_async_copy(src(wu_hbm), wu_buf.at[s], sems.at[s, 1]),
+        )
+
+    @pl.when(i == 0)
+    def _():  # bootstrap runs 0 and 1
+        for c in copies(te_ref[0], slot):
+            c.start()
+        nxt = nxt_ref[0]
+
+        @pl.when(nxt >= 0)
+        def _():
+            for c in copies(nxt, (slot + 1) % NSLOTS):
+                c.start()
+
+    @pl.when(start_ref[i] == 1)
+    def _():
+        for c in copies(te_ref[i], slot):
+            c.wait()
+        nxt2 = nxt2_ref[i]
+
+        @pl.when(nxt2 >= 0)
+        def _():  # two-run lookahead
+            for c in copies(nxt2, jax.lax.rem(slot + 2, NSLOTS)):
+                c.start()
+
+    x = x_ref[...]
+
+    def compute(s: int):
+        def _():  # static buffer index (see _fused_ffn_kernel note)
+            gate = jax.lax.dot_general(
+                x, wg_buf[s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            up = jax.lax.dot_general(
+                x, wu_buf[s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            h_ref[...] = (jax.nn.silu(gate) * up).astype(h_ref.dtype)
+        return _
+
+    for s in range(NSLOTS):
+        pl.when(slot == s)(compute(s))
+
+
+def _matmul_manual_kernel(*refs, stacked: bool):
+    if stacked:
+        (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref, li_ref,
+         x_ref, w_hbm, o_ref, w_buf, sems) = refs
+    else:
+        (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref,
+         x_ref, w_hbm, o_ref, w_buf, sems) = refs
+        li_ref = None
+
+    i = pl.program_id(0)
+    slot = slot_ref[i]
+
+    def copy(e, s):
+        src = w_hbm.at[li_ref[0], e] if stacked else w_hbm.at[e]
+        return pltpu.make_async_copy(src, w_buf.at[s], sems.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        copy(te_ref[0], slot).start()
+        nxt = nxt_ref[0]
+
+        @pl.when(nxt >= 0)
+        def _():
+            copy(nxt, (slot + 1) % NSLOTS).start()
+
+    @pl.when(start_ref[i] == 1)
+    def _():
+        copy(te_ref[i], slot).wait()
+        nxt2 = nxt2_ref[i]
+
+        @pl.when(nxt2 >= 0)
+        def _():
+            copy(nxt2, jax.lax.rem(slot + 2, NSLOTS)).start()
+
+    x = x_ref[...]
+
+    def compute(s: int):
+        def _():
+            o_ref[...] = jax.lax.dot_general(
+                x, w_buf[s], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        return _
+
+    for s in range(NSLOTS):
+        pl.when(slot == s)(compute(s))
+
+
+def grouped_gateup_manual(
+    x_padded: jnp.ndarray,     # [M_pad, D]
+    we_gate: jnp.ndarray,      # [E, D, F] or [L, E, D, F] with layer_index
+    we_up: jnp.ndarray,
+    tile_expert: jnp.ndarray,  # [M_pad / tile_m] int32, non-decreasing
+    tile_m: int = TILE_M,
+    layer_index: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """silu(x@wg[e]) * (x@wu[e]) with manual NSLOTS weight pipelining.
+    Requires lane-aligned D and F (every full-size preset qualifies)."""
+    m_pad, d = x_padded.shape
+    e, _, f = we_gate.shape[-3:]
+    stacked = we_gate.ndim == 4
+    if d % 128 or f % 128:
+        raise ValueError(f"manual gate/up needs D, F % 128 == 0, got {d}, {f}")
+
+    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e)
+    wdt = we_gate.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6 if stacked else 5,
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, d), lambda i, *s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile_m, f), lambda i, *s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOTS, d, f), wdt),
+            pltpu.VMEM((NSLOTS, d, f), wdt),
+            pltpu.SemaphoreType.DMA((NSLOTS, 2)),
+        ],
+    )
+    scalars = [tile_expert, nxt, nxt2, start, slot]
+    if stacked:
+        scalars.append(jnp.asarray(layer_index, jnp.int32).reshape(1))
+    # Budget exactly what the kernel needs: over-reserving VMEM starves
+    # XLA's memory-space-assignment pass of alternate-memory headroom for
+    # the SURROUNDING ops — measured: a 48 MB limit here makes the
+    # downstream unsort gather 4x slower (it loses its VMEM prefetch).
+    scratch_bytes = 2 * NSLOTS * d * f * wdt.itemsize
+    blocks_bytes = 2 * tile_m * (d + f) * x_padded.dtype.itemsize
+    return pl.pallas_call(
+        functools.partial(_gateup_manual_kernel, stacked=stacked),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, f), x_padded.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=scratch_bytes + 3 * blocks_bytes + (5 << 20),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * d * f,
+            bytes_accessed=(x_padded.size + m_pad * f) * x_padded.dtype.itemsize
+            + 2 * e * d * f * wdt.itemsize,
+            transcendentals=m_pad * f,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*scalars, x_padded, we_gate, we_up)
+
+
+def grouped_matmul_manual(
+    x_padded: jnp.ndarray,     # [M_pad, F]
+    w: jnp.ndarray,            # [E, F, D] or [L, E, F, D] with layer_index
+    tile_expert: jnp.ndarray,
+    tile_m: int = TILE_M,
+    layer_index: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    m_pad, f = x_padded.shape
+    e, _, d = w.shape[-3:]
+    stacked = w.ndim == 4
+    if d % 128 or f % 128:
+        raise ValueError(f"manual matmul needs dims % 128 == 0, got {f}, {d}")
+
+    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e)
+    wdt = w.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6 if stacked else 5,
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, f), lambda i, *s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile_m, d), lambda i, *s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOTS, f, d), wdt),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
+        ],
+    )
+    scalars = [tile_expert, nxt, nxt2, start, slot]
+    if stacked:
+        scalars.append(jnp.asarray(layer_index, jnp.int32).reshape(1))
+    scratch_bytes = NSLOTS * f * d * wdt.itemsize
+    blocks_bytes = 2 * tile_m * (d + f) * x_padded.dtype.itemsize
+    return pl.pallas_call(
+        functools.partial(_matmul_manual_kernel, stacked=stacked),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), x_padded.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=scratch_bytes + 3 * blocks_bytes + (5 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * f * d,
+            bytes_accessed=(x_padded.size + m_pad * d) * x_padded.dtype.itemsize
+            + e * f * d * wdt.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*scalars, x_padded, w)
 
 
 def ragged_matmul(xs_sorted, w, group_sizes, tile_m: int = TILE_M):

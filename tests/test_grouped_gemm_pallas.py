@@ -54,6 +54,43 @@ def test_padded_layout_invariants():
         assert te[row // 8] == g, (row, g)
 
 
+def test_manual_dma_pair_matches_dense_oracle():
+    """The manual weight-pipelined pair (round-3 default on aligned shapes)
+    against the dense oracle, including a skewed routing."""
+    from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import (
+        counting_layout, grouped_gateup_manual, grouped_matmul_manual)
+
+    x, tp, ti, wg, wu, wd = _setup()
+    dense = _experts_dense(x, tp, ti, wg, wu, wd)
+    got = grouped_expert_ffn_pallas(x, tp, ti, wg, wu, wd, tile_m=8)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(got),
+                               rtol=1e-4, atol=1e-5)
+
+    ti2 = jnp.zeros_like(ti).at[:, 1].set(3)
+    dense2 = _experts_dense(x, tp, ti2, wg, wu, wd)
+    got2 = grouped_expert_ffn_pallas(x, tp, ti2, wg, wu, wd, tile_m=8)
+    np.testing.assert_allclose(np.asarray(dense2), np.asarray(got2),
+                               rtol=1e-4, atol=1e-5)
+
+    # manual pair vs auto pair on the padded layout directly
+    n, k = ti.shape
+    e = wg.shape[0]
+    from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import (
+        grouped_gateup_padded, grouped_matmul_padded)
+    dest, tile_expert, _, m_pad = counting_layout(ti, e, 8)
+    src = jnp.zeros((m_pad,), jnp.int32).at[dest].set(
+        jnp.arange(n * k, dtype=jnp.int32) // k)
+    xp = jnp.take(x, src, axis=0, mode="clip")
+    h_auto = grouped_gateup_padded(xp, wg, wu, tile_expert, 8)
+    h_man = grouped_gateup_manual(xp, wg, wu, tile_expert, 8)
+    np.testing.assert_allclose(np.asarray(h_man), np.asarray(h_auto),
+                               rtol=1e-5, atol=1e-6)
+    o_auto = grouped_matmul_padded(h_auto, wd, tile_expert, 8)
+    o_man = grouped_matmul_manual(h_auto, wd, tile_expert, 8)
+    np.testing.assert_allclose(np.asarray(o_man), np.asarray(o_auto),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_stacked_weights_require_layer_index():
     """4-D [L, E, D, Fm] stacks without layer_index must fail loudly instead
     of silently computing with layer 0's experts (ADVICE r2)."""
