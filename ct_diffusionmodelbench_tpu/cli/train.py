@@ -58,6 +58,10 @@ def build_parser():
     p.add_argument("--no-variable-length", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize layer activations (gradient checkpointing)")
+    p.add_argument("--remat-policy", choices=["full", "dots"], default="full",
+                   help="With --remat: 'full' recomputes the whole block in "
+                        "the backward; 'dots' saves matmul outputs and "
+                        "recomputes only elementwise/norm work")
     p.add_argument("--dp", type=int, default=1,
                    help="Data-parallel mesh axis (batch shards over it; "
                         "first-class replacement for the reference's 8-GPU "
@@ -150,7 +154,7 @@ def main(argv=None):
         max_length=args.max_length,
         seed=args.seed,
         variable_length=not args.no_variable_length,
-        remat=args.remat,
+        remat=(args.remat_policy if args.remat and args.remat_policy != "full" else args.remat),
         dp=args.dp,
         tp=args.tp,
         sp=args.sp,

@@ -72,7 +72,9 @@ class TrainConfig:
     varlen_prob: float = 0.01
     varlen_min: int = 8
     bucket: int = 64
-    remat: bool = False
+    # False | True (full per-block remat) | 'dots' (save matmul
+    # outputs, recompute elementwise/norm only - faster, more memory)
+    remat: "bool | str" = False
     drop_last: bool = True
     # Mesh axes (dp*tp*sp > 1 shards the run: batch over 'data', params
     # megatron-style over 'model', sequence over 'seq' via ring attention).

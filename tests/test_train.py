@@ -469,3 +469,35 @@ def test_trainer_pipeline_parallel_matches_single_device(tmp_path):
         Trainer(cfg, init_params(cfg, jax.random.key(0)),
                 TrainConfig(output_dir=str(tmp_path / "x"), pp=2, tp=2,
                             **base), ds)
+
+
+def test_remat_policies_match_no_remat():
+    """remat=True (full) and remat='dots' (save matmul outputs) are pure
+    recompute schedules: loss AND grads must match the no-remat step to
+    float tolerance."""
+    from ct_diffusionmodelbench_tpu.train.trainer import (
+        make_optimizer, make_train_step)
+
+    cfg = get_config("llada-tiny", dtype="float32")
+    params = init_params(cfg, jax.random.key(0))
+    tc0 = TrainConfig(learning_rate=1e-3, grad_accum=2, batch_size=1,
+                      max_length=32, remat=False)
+    opt, _ = make_optimizer(tc0, total_steps=10)
+    ids = jax.random.randint(jax.random.key(1), (2, 1, 32), 3,
+                             cfg.vocab_size - 2)
+    plens = jnp.full((2, 1), 4, jnp.int32)
+    key = jax.random.key(2)
+
+    results = {}
+    for remat in (False, True, "dots"):
+        tc = TrainConfig(learning_rate=1e-3, grad_accum=2, batch_size=1,
+                         max_length=32, remat=remat)
+        step, _ = make_train_step(cfg, tc, opt)
+        p, _, m = step(params, opt.init(params), ids, plens, key)
+        results[str(remat)] = (np.asarray(m["loss"]),
+                               np.asarray(p["embed"]))
+    for name in ("True", "dots"):
+        np.testing.assert_allclose(results[name][0], results["False"][0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(results[name][1], results["False"][1],
+                                   rtol=1e-4, atol=1e-5)
