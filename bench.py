@@ -113,6 +113,64 @@ def measure(cfg, params, fwd, *, steps, batch, reps, seed=1):
     return float(np.median(times))
 
 
+def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
+                        dtype=None):
+    """One model load, one single-sample latency, a throughput row per
+    batch size.  Returns (cfg, best_row, all_rows) — best = max tok/s."""
+    from ct_diffusionmodelbench_tpu.models import get_config, init_params, make_forward_fn
+
+    cfg = get_config(name) if dtype is None else get_config(name, dtype=dtype)
+    params = init_params(cfg, jax.random.key(0))
+    jax.block_until_ready(params)
+    fwd = make_forward_fn(cfg)
+
+    n_chips = len(jax.devices())
+    seq = PROMPT_LEN + GEN_LENGTH
+    dt_single = measure(cfg, params, fwd, steps=steps, batch=1, reps=2)
+
+    def _mfu(fl, dt):
+        v = fl / dt / (n_chips * peak_tflops * 1e12)
+        return round(v, 4) if np.isfinite(v) else None
+
+    rows = []
+    for batch in batches:
+        try:
+            dt = measure(cfg, params, fwd, steps=steps, batch=batch, reps=reps)
+        except Exception as e:  # one batch OOMing shouldn't kill the sweep
+            rows.append({"batch": batch,
+                         "error": f"{type(e).__name__}: {str(e)[:120]}"})
+            continue
+        flops = batch * steps * cfg.forward_flops(seq, lm_head_width=BLOCK_LENGTH)
+        rows.append({
+            "batch": batch,
+            "tok_per_sec_per_chip": round(batch * GEN_LENGTH / dt / n_chips, 2),
+            "seconds_per_batch": round(dt, 3),
+            "seconds_per_sample_batched": round(dt / batch, 3),
+            "mfu": _mfu(flops, dt),
+        })
+    del params
+    ok = [r for r in rows if "error" not in r]
+    best = max(ok, key=lambda r: r["tok_per_sec_per_chip"])
+    head = {
+        "model": cfg.name,
+        "params_total_b": round(cfg.param_count() / 1e9, 2),
+        "params_active_b": round(cfg.active_param_count() / 1e9, 2),
+        "prompt_len": PROMPT_LEN, "gen_length": GEN_LENGTH,
+        "steps": steps, "block_length": BLOCK_LENGTH,
+        "dtype": cfg.dtype, "batch": best["batch"],
+        "tok_per_sec_per_chip": best["tok_per_sec_per_chip"],
+        "seconds_per_batch": best["seconds_per_batch"],
+        "seconds_per_sample_batched": best["seconds_per_sample_batched"],
+        "single_sample_latency_sec": round(dt_single, 3),
+        "single_sample_tok_per_sec": round(GEN_LENGTH / dt_single, 2),
+        "mfu": best["mfu"],
+        "mfu_single": _mfu(
+            steps * cfg.forward_flops(seq, lm_head_width=BLOCK_LENGTH),
+            dt_single),
+    }
+    return cfg, head, rows
+
+
 def bench_model(name, *, steps, batch, reps, peak_tflops, dtype=None):
     from ct_diffusionmodelbench_tpu.models import get_config, init_params, make_forward_fn
 
@@ -156,7 +214,7 @@ def main():
     chip_kind, peak = chip_peak_tflops()
     n_chips = len(jax.devices())
 
-    sanity_ms = None
+    sanity_ms = sanity_after_ms = None
     if on_tpu:
         sanity_ms = round(wait_for_quiet(), 3)
         # Headline: the reference's own model class and sampler config.
@@ -168,8 +226,13 @@ def main():
         # HBM traffic) and say so in the JSON.
         moe_note = None
         try:
-            cfg, moe = bench_model("llada-moe-7b", steps=128, batch=8,
-                                   reps=2, peak_tflops=peak)
+            # Throughput sweeps with batch: the ~0.86 ms/layer expert-weight
+            # stream is batch-invariant, so larger batches amortize it and
+            # raise tok/s/chip until compute-bound.  Measure 8/16/32 in one
+            # model load, headline the best, and keep every row.
+            cfg, moe, moe_sweep = bench_model_batches(
+                "llada-moe-7b", steps=128, batches=(8, 16, 32),
+                reps=2, peak_tflops=peak)
         except Exception as e:  # ResourceExhausted from the pool allocator
             import gc
             gc.collect()
@@ -183,13 +246,16 @@ def main():
                 "5.72B total so total-expert HBM traffic is ~25% lighter "
                 "than the real 7B — treat the number as an upper bound "
                 "within ~25% on the bandwidth-bound component")
-            cfg, moe = bench_model("llada-moe-bench1chip", steps=128,
-                                   batch=8, reps=2, peak_tflops=peak)
+            cfg, moe, moe_sweep = bench_model_batches(
+                "llada-moe-bench1chip", steps=128, batches=(8, 16, 32),
+                reps=2, peak_tflops=peak)
         if moe_note:
             moe["fallback_note"] = moe_note
+        moe["batch_sweep"] = moe_sweep
         # North-star shape (BASELINE.json: 256 steps) on the dense 2B.
         _, dense = bench_model("llada-2b", steps=256, batch=8, reps=2,
                                peak_tflops=peak)
+        sanity_after_ms = round(_sanity_matmul_ms(), 3)
         dense["note"] = (
             "stand-in for the LLaDA-8B the north star names "
             "(BASELINE.json:2): 8B bf16 is ~16.3 GB > one v5e chip's 16 GB "
@@ -215,10 +281,12 @@ def main():
             "backend": jax.default_backend(),
             "chips": n_chips,
             "chip_kind": chip_kind,
-            # ms/iter of a sanity 2048^3 matmul right before measuring:
-            # ~0.1 quiet, multi-ms when other tenants share the chip (the
-            # numbers below are then lower bounds on true throughput).
+            # ms/iter of a sanity 2048^3 matmul right before and right
+            # after measuring: ~0.1 quiet, multi-ms when other tenants
+            # share the chip (the numbers below are then lower bounds on
+            # true throughput).
             "pool_sanity_matmul_ms": sanity_ms,
+            "pool_sanity_matmul_ms_after": sanity_after_ms,
             "peak_bf16_tflops_per_chip": peak if np.isfinite(peak) else None,
             "baseline": "LLaDA-MoE-7B-A1B 256 tok / 57.09 s on GH200 "
                         "(model_performance.md:5; BASELINE.md)",

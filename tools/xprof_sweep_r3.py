@@ -107,6 +107,15 @@ def main():
         "auto_kloop": {"CTDB_GROUPED_TILE_M": "64",
                        "CTDB_GROUPED_MANUAL": "0",
                        "CTDB_GROUPED_COMBINE": "kloop"},
+        "man_tm128_kloop": {"CTDB_GROUPED_TILE_M": "128",
+                            "CTDB_GROUPED_MANUAL": "1",
+                            "CTDB_GROUPED_COMBINE": "kloop"},
+        "man_tm32_kloop": {"CTDB_GROUPED_TILE_M": "32",
+                           "CTDB_GROUPED_MANUAL": "1",
+                           "CTDB_GROUPED_COMBINE": "kloop"},
+        "fused_kloop": {"CTDB_GROUPED_TILE_M": "64",
+                        "CTDB_GROUPED_FUSED": "1",
+                        "CTDB_GROUPED_COMBINE": "kloop"},
     }
 
     rows = []
