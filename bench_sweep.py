@@ -305,18 +305,46 @@ def _bench_sft_moe_inner(tcfg):
 
 
 def main():
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated section names; existing PERF.json "
+                         "rows for other sections are kept.  Use one section "
+                         "per process for the big SFT rows: HBM freed by a "
+                         "previous section in the SAME process is not "
+                         "reliably reusable on the axon pool (CLAUDE.md).")
+    args = ap.parse_args()
+
     assert jax.default_backend() == "tpu", "perf ledger is a TPU artifact"
     ledger = {"chip_kind": jax.devices()[0].device_kind}
+    if args.only and os.path.exists("PERF.json"):
+        with open("PERF.json") as f:
+            ledger = json.load(f)
+        ledger["chip_kind"] = jax.devices()[0].device_kind
+    only = set(args.only.split(",")) if args.only else None
     for name, fn in (("attention_crossover", bench_attention_crossover),
                      ("grouped_gemm", bench_grouped_gemm),
                      ("dream_reference_config", bench_dream),
                      ("sft_train_step", bench_sft),
                      ("sft_train_step_int8_adam", bench_sft_int8_full2b),
                      ("sft_train_step_moe", bench_sft_moe)):
+        if only is not None and name not in only:
+            continue
         try:
             ledger[name] = fn()
-        except Exception as e:  # keep the partial ledger (pool OOMs happen)
-            ledger[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        except Exception:
+            # Axon pool reclamation lag: HBM freed by the previous section
+            # only returns ~1-2 min later, and an OOM poisons allocations
+            # until then (CLAUDE.md) — sleep it off and retry once.
+            import gc
+            gc.collect()
+            time.sleep(150)
+            try:
+                ledger[name] = fn()
+            except Exception as e:  # keep the partial ledger
+                ledger[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
         with open("PERF.json", "w") as f:
             json.dump(ledger, f, indent=2)
     print(json.dumps(ledger))

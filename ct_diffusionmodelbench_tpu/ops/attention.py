@@ -122,13 +122,13 @@ def attention(
                 qr, kr = roped()
                 return ring_attention(qr, kr, v, mask=mask, mesh=mesh)
     if impl == "auto":
-        # Measured on v5e (llada-2b, fused sampler): XLA's fused attention
-        # ties or beats the standalone Pallas kernel up to S≈1280 — the
-        # pallas_call is a fusion barrier, and attention is only ~3% of the
-        # FLOPs at these shapes — while the O(S²) reference buffers start to
-        # dominate HBM beyond ~2k (reference OOMs training at S=2560).
-        # Dispatch on sequence length; override with impl= or cfg.attn_impl.
-        impl = ("pallas" if _on_tpu() and q.shape[1] >= 2048 else "reference")
+        # Measured crossover on v5e at the 8B head geometry with RoPE fused
+        # in-kernel (PERF.json attention_crossover, round 3): XLA's fused
+        # attention wins at S<=512 (pallas_call is a fusion barrier and the
+        # O(S^2) buffers still fit cache-friendly tiles), the flash kernel
+        # wins from S=1024 (1.47x) and grows to >3x by S>=2048.  Dispatch on
+        # sequence length; override with impl= or cfg.attn_impl.
+        impl = ("pallas" if _on_tpu() and q.shape[1] >= 1024 else "reference")
     if causal:
         impl = "reference"
     if impl == "pallas":
