@@ -87,6 +87,11 @@ def build_parser():
                    help="Adam moment storage dtype (bfloat16/int8 shrink "
                         "optimizer state 2x/4x to fit bigger models on one "
                         "chip; float32 = reference adamw_torch semantics)")
+    p.add_argument("--grad-accum-dtype",
+                   choices=["float32", "bfloat16"], default="float32",
+                   help="Gradient-accumulation buffer dtype (bfloat16 halves "
+                        "the accumulation carry + transient grads; grad-norm "
+                        "clip still accumulates in f32)")
     return p
 
 
@@ -161,6 +166,7 @@ def main(argv=None):
         pp=args.pp,
         pp_microbatches=args.pp_microbatches,
         optimizer_state_dtype=args.optimizer_state_dtype,
+        grad_accum_dtype=args.grad_accum_dtype,
     )
     trainer = Trainer(cfg, params, tc, tokenized_train,
                       eval_dataset=tokenized_val, tokenizer=tokenizer)

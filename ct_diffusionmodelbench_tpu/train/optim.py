@@ -127,6 +127,32 @@ def scale_by_adam_lowp(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
+    """``optax.clip_by_global_norm`` with the norm accumulated in f32.
+
+    With a bf16 grad-accumulation buffer (TrainConfig.grad_accum_dtype)
+    optax's global_norm would sum millions of bf16 squares in bf16; this
+    casts per-leaf (small transients) and matches optax exactly for f32
+    input."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                 for g in jax.tree.leaves(updates))
+        g_norm = jnp.sqrt(sq)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(g_norm, 1e-16))
+        updates = jax.tree.map(
+            lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype),
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def adamw_lowp(
     learning_rate,
     b1: float = 0.9,

@@ -57,6 +57,12 @@ class TrainConfig:
     # 4x shrink) — raises the largest-model-that-fits-one-chip ceiling for
     # single-chip SFT (train/optim.py; oracle-tested loss trajectories).
     optimizer_state_dtype: str = "float32"
+    # Gradient-accumulation buffer dtype: float32 (reference semantics) |
+    # bfloat16.  The f32 carry is the single biggest training buffer after
+    # the moments (params_bytes*2), and during each micro step it coexists
+    # with the freshly computed grads — bf16 halves both and is what lets
+    # the FULL llada-2b (1.65B) train on one 16 GB chip with int8 moments.
+    grad_accum_dtype: str = "float32"
     max_grad_norm: float = 1.0
     max_length: int = 2048
     eval_steps: int = 1000
@@ -122,8 +128,15 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
                            eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
                            mask=decay_mask,
                            state_dtype=cfg.optimizer_state_dtype)
+    if cfg.grad_accum_dtype == "float32":
+        clip = optax.clip_by_global_norm(cfg.max_grad_norm)
+    else:
+        # bf16 grads: optax's global_norm would accumulate millions of bf16
+        # squares in bf16 — use the f32-accurate clip (train/optim.py).
+        from ct_diffusionmodelbench_tpu.train.optim import clip_by_global_norm_f32
+        clip = clip_by_global_norm_f32(cfg.max_grad_norm)
     return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
+        clip,
         adamw,
     ), schedule
 
@@ -156,6 +169,11 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    if train_cfg.grad_accum_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"unknown grad_accum_dtype {train_cfg.grad_accum_dtype!r}")
+    acc_dt = jnp.dtype(train_cfg.grad_accum_dtype)
+
     @jax.jit
     def step(params, opt_state, input_ids, prompt_lengths, key):
         a = input_ids.shape[0]
@@ -165,11 +183,14 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
             g_acc, l_acc, m_acc = carry
             ids, plens, k = xs
             (loss, metrics), grads = grad_fn(params, ids, plens, k)
-            g_acc = jax.tree.map(jnp.add, g_acc, grads)
+            # Explicit cast: jnp.add would promote a bf16 carry + f32 grads
+            # to f32 and break the scan's carry-dtype invariant.
+            g_acc = jax.tree.map(lambda a_, g: a_ + g.astype(acc_dt),
+                                 g_acc, grads)
             m_acc = jax.tree.map(jnp.add, m_acc, metrics)
             return (g_acc, l_acc + loss, m_acc), None
 
-        zeros_g = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        zeros_g = jax.tree.map(lambda p: jnp.zeros_like(p, acc_dt), params)
         zeros_m = {"loss": 0.0, "aux_loss": 0.0, "masked_tokens": 0.0, "masked_ce": 0.0}
         zeros_m = jax.tree.map(jnp.float32, zeros_m)
         (grads, loss, metrics), _ = jax.lax.scan(
@@ -180,7 +201,11 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         metrics = jax.tree.map(lambda v: v / a, metrics)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        grad_norm = optax.global_norm(grads)
+        # Norm in f32 even when the accumulation buffer is bf16 (the casts
+        # fuse into the reductions; no full-tree f32 copy materializes).
+        grad_norm = jnp.sqrt(sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree.leaves(grads)))
         metrics = dict(metrics, grad_norm=grad_norm)
         return params, opt_state, metrics
 

@@ -439,6 +439,39 @@ def test_trainer_lowp_optimizer_end_to_end(tmp_path):
         np.asarray(a_), np.asarray(b_)), trainer.opt_state, t2.opt_state)
 
 
+def test_trainer_bf16_grad_accum_tracks_f32(tmp_path):
+    """grad_accum_dtype='bfloat16' (halved accumulation carry + transient
+    grads; the memory knob that lets the FULL llada-2b train on one 16 GB
+    chip with int8 moments) must track the f32-accumulation loss trajectory.
+    The grad-norm clip accumulates in f32 on this path (optim.py
+    clip_by_global_norm_f32) so clipping decisions stay accurate."""
+    cfg = get_config("llada-tiny", dtype="float32").replace(pad_token_id=0)
+    ds = _tiny_dataset(cfg, 16, np.random.default_rng(9))
+
+    def run(accum_dtype, out):
+        tc = TrainConfig(output_dir=str(tmp_path / out), num_epochs=2,
+                         batch_size=2, grad_accum=2, learning_rate=3e-3,
+                         warmup_steps=2, logging_steps=1, eval_steps=0,
+                         max_length=32, bucket=32, seed=0,
+                         variable_length=False,
+                         grad_accum_dtype=accum_dtype)
+        trainer = Trainer(cfg, init_params(cfg, jax.random.key(10)), tc, ds)
+        final = trainer.train()
+        assert final["status"] == "completed"
+        return np.array([l["loss"] for l in trainer.training_logs
+                         if "loss" in l])
+
+    t_f32 = run("float32", "f32")
+    t_bf16 = run("bfloat16", "bf16")
+    assert t_bf16[-1] < t_f32[0]          # it actually trains
+    np.testing.assert_allclose(t_bf16, t_f32, rtol=0.02)
+
+    with pytest.raises(ValueError, match="grad_accum_dtype"):
+        tc_bad = TrainConfig(output_dir=str(tmp_path / "bad"),
+                             grad_accum_dtype="float16", max_length=32)
+        Trainer(cfg, init_params(cfg, jax.random.key(10)), tc_bad, ds)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_trainer_pipeline_parallel_matches_single_device(tmp_path):
     """--pp through the user-facing Trainer (VERDICT r2 missing item 4):
