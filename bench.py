@@ -89,12 +89,19 @@ def wait_for_quiet(max_wait_s: float = 1500, threshold_ms: float = 0.8):
     return ms
 
 
-def measure(cfg, params, fwd, *, steps, batch, reps, seed=1):
-    """Median seconds per batched sampler call (greedy LLaDA config)."""
+def measure(cfg, params, fwd, *, steps, batch, reps, seed=1, cached_fns=None,
+            parallel_threshold=None):
+    """Median seconds per batched sampler call (greedy LLaDA config).
+
+    ``cached_fns`` / ``parallel_threshold``: measure the opt-in Fast-dLLM
+    accelerations (models/block_cache.py; sampling/llada.py) instead of the
+    exact sampler."""
     from ct_diffusionmodelbench_tpu.sampling import llada_generate
 
     kw = dict(steps=steps, gen_length=GEN_LENGTH, block_length=BLOCK_LENGTH,
-              temperature=0.0, mask_id=cfg.mask_token_id)
+              temperature=0.0, mask_id=cfg.mask_token_id,
+              block_cache=cached_fns is not None, cached_fns=cached_fns,
+              parallel_threshold=parallel_threshold)
     hi = min(cfg.vocab_size - 10, 100_000, cfg.mask_token_id)  # never sample
     prompt = jax.random.randint(jax.random.key(seed),            # the mask id
                                 (batch, PROMPT_LEN), 10, hi)
@@ -148,6 +155,44 @@ def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
             "seconds_per_sample_batched": round(dt / batch, 3),
             "mfu": _mfu(flops, dt),
         })
+    # Opt-in dual-cache accelerated decode (models/block_cache.py,
+    # Fast-dLLM-style): same model, same sampler config, approximate
+    # numerics — reported as its own row, never as the headline (the
+    # headline stays exact-semantics for apples-to-apples).
+    accel_rows = []
+    ok_batches = [r["batch"] for r in rows if "error" not in r]
+    if ok_batches:
+        from ct_diffusionmodelbench_tpu.models.block_cache import (
+            make_cached_fns)
+        cached = make_cached_fns(cfg)
+        ab = max(ok_batches)
+        for label, mkw in (
+                ("block-cache (--accel block-cache)",
+                 dict(cached_fns=cached)),
+                # NOTE: on random-init weights almost no confidence clears
+                # 0.9, so threshold decoding degrades to its worst case
+                # (one forced unmask per step = block_length steps/block,
+                # MORE than the 57.09s-config's steps_per_block=16) — this
+                # row is a LOWER bound; real checkpoints unmask many
+                # tokens/step (Fast-dLLM reports ~2x fewer steps).
+                ("block-cache + parallel-threshold 0.9, worst-case "
+                 "(--accel block-cache --parallel-threshold 0.9)",
+                 dict(cached_fns=cached, parallel_threshold=0.9))):
+            try:
+                dt_a = measure(cfg, params, fwd, steps=steps, batch=ab,
+                               reps=reps, **mkw)
+                accel_rows.append({
+                    "mode": label,
+                    "batch": ab,
+                    "tok_per_sec_per_chip": round(
+                        ab * GEN_LENGTH / dt_a / n_chips, 2),
+                    "seconds_per_batch": round(dt_a, 3),
+                    "seconds_per_sample_batched": round(dt_a / ab, 3),
+                })
+            except Exception as e:
+                accel_rows.append(
+                    {"mode": label,
+                     "error": f"{type(e).__name__}: {str(e)[:120]}"})
     del params
     ok = [r for r in rows if "error" not in r]
     best = max(ok, key=lambda r: r["tok_per_sec_per_chip"])
@@ -168,6 +213,10 @@ def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
             steps * cfg.forward_flops(seq, lm_head_width=BLOCK_LENGTH),
             dt_single),
     }
+    if accel_rows:
+        # Fast-dLLM accelerated-mode rows (approximate numerics, opt-in):
+        # reported alongside, never as the headline.
+        head["accel"] = accel_rows
     return cfg, head, rows
 
 

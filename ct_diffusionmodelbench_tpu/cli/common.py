@@ -22,6 +22,21 @@ def add_parallel_flags(p) -> None:
                         "hidden / MoE experts shard over it; required when "
                         "the model exceeds one chip's HBM, e.g. LLaDA-8B "
                         "bf16 on v5e)")
+    p.add_argument("--accel", type=str, default=None,
+                   choices=["block-cache"],
+                   help="Opt-in approximate acceleration: 'block-cache' = "
+                        "Fast-dLLM-style dual KV cache (per-step compute "
+                        "drops from full-sequence to the active block; "
+                        "LLaDA families, single chip). Default: the exact "
+                        "sampler")
+    p.add_argument("--parallel-threshold", type=float, default=None,
+                   help="Opt-in Fast-dLLM confidence-threshold parallel "
+                        "decoding: unmask every position whose confidence "
+                        "exceeds this (e.g. 0.9) each step instead of the "
+                        "fixed schedule — blocks finish in as few steps as "
+                        "their tokens are confident (LLaDA families; "
+                        "composes with --accel block-cache). Default: the "
+                        "reference's fixed transfer schedule")
 
 
 def runner_from_args(args) -> ModelRunner:
@@ -29,13 +44,19 @@ def runner_from_args(args) -> ModelRunner:
     with the (data=dp, model=tp) mesh when either flag exceeds 1."""
     dp = getattr(args, "dp", 1)
     tp = getattr(args, "tp", 1)
+    accel = getattr(args, "accel", None)
     mask_id = getattr(args, "mask_id", None)
+    pthr = getattr(args, "parallel_threshold", None)
     if getattr(args, "preset", None):
-        runner = ModelRunner.random_init(args.preset, dp=dp, tp=tp)
+        runner = ModelRunner.random_init(args.preset, dp=dp, tp=tp,
+                                         accel=accel)
         if mask_id is not None:
             runner.mask_id = mask_id
+        runner.parallel_threshold = pthr
         return runner
     if getattr(args, "model_dir", None):
-        return ModelRunner.from_dir(args.model_dir, mask_id_override=mask_id,
-                                    dp=dp, tp=tp)
+        runner = ModelRunner.from_dir(args.model_dir, mask_id_override=mask_id,
+                                      dp=dp, tp=tp, accel=accel)
+        runner.parallel_threshold = pthr
+        return runner
     raise SystemExit("need --model-dir or --preset")

@@ -62,7 +62,8 @@ class ModelRunner:
                  family: Optional[str] = None,
                  mask_id_override: Optional[int] = None,
                  prompt_bucket: int = 64,
-                 mesh=None):
+                 mesh=None,
+                 accel: Optional[str] = None):
         """``mesh``: a (data, model) jax.sharding.Mesh — parameters are
         placed per the megatron-style TP rules (parallel/sharding.py) and
         the forward becomes the jitted TP/DP-sharded graph.  This is the
@@ -98,6 +99,30 @@ class ModelRunner:
         self.eos_token_id = (tokenizer.eos_token_id
                              if tokenizer.eos_token_id is not None
                              else cfg.eos_token_id)
+        # accel="block-cache": Fast-dLLM-style dual-KV-cache decode
+        # (models/block_cache.py) — approximate for deep models, single-chip
+        # only, LLaDA families only.  None (default) = the exact sampler.
+        self.accel = accel
+        # Default confidence threshold for parallel decoding (None = fixed
+        # schedule); per-call parallel_threshold= overrides.  Set via
+        # --parallel-threshold on the serving CLIs.
+        self.parallel_threshold = None
+        self.cached_fns = None
+        if accel is not None:
+            if accel != "block-cache":
+                raise ValueError(f"unknown accel mode {accel!r} "
+                                 "(supported: 'block-cache')")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "accel='block-cache' is single-chip only — drop --dp/--tp "
+                    "or the accel flag")
+            if self.family not in ("llada", "llada-moe"):
+                raise NotImplementedError(
+                    "accel='block-cache' supports the LLaDA block sampler "
+                    "families only (Dream/DiffuCoder use shifted logits)")
+            from ct_diffusionmodelbench_tpu.models.block_cache import (
+                make_cached_fns)
+            self.cached_fns = make_cached_fns(cfg)
 
     # -- constructors --------------------------------------------------
 
@@ -105,7 +130,8 @@ class ModelRunner:
     def from_dir(cls, model_dir: str | Path, family: Optional[str] = None,
                  mask_id_override: Optional[int] = None,
                  dtype: Optional[str] = None,
-                 dp: int = 1, tp: int = 1) -> "ModelRunner":
+                 dp: int = 1, tp: int = 1,
+                 accel: Optional[str] = None) -> "ModelRunner":
         cfg, params = load_checkpoint(model_dir, dtype=dtype)
         try:
             tokenizer = Tokenizer.from_pretrained(model_dir)
@@ -115,12 +141,13 @@ class ModelRunner:
                 eos_token_id=cfg.eos_token_id or 2)
         return cls(cfg, params, tokenizer, family=family,
                    mask_id_override=mask_id_override,
-                   mesh=_maybe_mesh(dp, tp))
+                   mesh=_maybe_mesh(dp, tp), accel=accel)
 
     @classmethod
     def random_init(cls, preset: str, seed: int = 0,
                     family: Optional[str] = None,
-                    dp: int = 1, tp: int = 1) -> "ModelRunner":
+                    dp: int = 1, tp: int = 1,
+                    accel: Optional[str] = None) -> "ModelRunner":
         from ct_diffusionmodelbench_tpu.models.transformer import init_params
 
         cfg = get_config(preset)
@@ -131,7 +158,7 @@ class ModelRunner:
         tokenizer = Tokenizer.byte_fallback(vocab_size=cfg.vocab_size,
                                             eos_token_id=cfg.eos_token_id or 2)
         return cls(cfg, params, tokenizer, family=family,
-                   mesh=_maybe_mesh(dp, tp))
+                   mesh=_maybe_mesh(dp, tp), accel=accel)
 
     # -- generation ----------------------------------------------------
 
@@ -151,6 +178,7 @@ class ModelRunner:
         alg_temp: float = 0.0,
         exact: bool = False,
         batch_mean_counts: bool = False,
+        parallel_threshold: Optional[float] = None,
         seed: int = 0,
         attn_mask=None,
     ) -> np.ndarray:
@@ -168,6 +196,11 @@ class ModelRunner:
                 temperature=temperature, cfg_scale=cfg_scale,
                 remasking=remasking, mask_id=self.mask_id,
                 avoid_eos=avoid_eos, eos_token_id=self.eos_token_id,
+                block_cache=self.cached_fns is not None,
+                cached_fns=self.cached_fns,
+                parallel_threshold=(parallel_threshold
+                                    if parallel_threshold is not None
+                                    else self.parallel_threshold),
                 attn_mask=attn_mask, key=key)
         else:
             out, _ = dream_generate(
@@ -253,6 +286,10 @@ class ModelRunner:
                 mask_id=self.mask_id,
                 avoid_eos=kw.pop("avoid_eos", False),
                 eos_token_id=self.eos_token_id,
+                block_cache=self.cached_fns is not None,
+                cached_fns=self.cached_fns,
+                parallel_threshold=kw.pop("parallel_threshold",
+                                          self.parallel_threshold),
                 attn_mask=jnp.asarray(mask), key=key)
         else:
             out, _ = dream_generate(

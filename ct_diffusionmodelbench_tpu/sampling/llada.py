@@ -65,6 +65,23 @@ class LLaDASamplerConfig:
                                         # softmax confidence like a bf16
                                         # reference run before ranking
                                         # (docs/PARITY.md §5)
+    block_cache: bool = False           # opt-in Fast-dLLM-style dual-cache
+                                        # acceleration (models/block_cache.py)
+                                        # — approximate for >1-layer models;
+                                        # exact full-sequence loop otherwise
+    parallel_threshold: Optional[float] = None
+                                        # opt-in confidence-threshold parallel
+                                        # decoding (Fast-dLLM, arXiv:
+                                        # 2505.22618): per step, unmask EVERY
+                                        # masked position whose confidence
+                                        # exceeds the threshold (plus the
+                                        # single most confident, so each step
+                                        # progresses) instead of the fixed
+                                        # transfer schedule; blocks finish in
+                                        # as few steps as their tokens are
+                                        # confident.  ``steps`` is ignored —
+                                        # the per-block step count is dynamic
+                                        # (bounded by block_length).
 
     def __post_init__(self):
         if self.gen_length % self.block_length != 0:
@@ -76,6 +93,10 @@ class LLaDASamplerConfig:
                              "(reference asserts this, chat_finetuned.py:60)")
         if self.remasking not in ("low_confidence", "random"):
             raise NotImplementedError(self.remasking)
+        if self.block_cache and self.cfg_scale > 0.0:
+            raise NotImplementedError(
+                "CFG batch-doubling is not supported with block_cache — "
+                "use the exact sampler for cfg_scale > 0")
 
     @property
     def num_blocks(self) -> int:
@@ -96,7 +117,7 @@ def _supports_logit_slice(forward_fn) -> bool:
 
 
 def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask,
-                  key, supports_slice=None):
+                  key, supports_slice=None, cached_fns=None):
     """The fused loop body. x: [B, P+G] int32; prompt_len: static int.
 
     Works block-sliced when the model forward supports ``logit_start``: only
@@ -144,6 +165,15 @@ def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask,
         block_ids = jax.lax.dynamic_slice_in_dim(x, block_start, bl, axis=1)
         return get_num_transfer_tokens(block_ids == sc.mask_id, spb)
 
+    def apply_transfer(x, x_blk, logits, k, k_gumbel, k_rand, block_start):
+        """Score the block's logits and unmask the top-k positions — the
+        shared tail of both the exact and the block-cached step."""
+        x0, confidence, _ = _score(logits, x_blk, k_gumbel, k_rand)
+        transfer = rank_topk_mask(confidence, k)
+        new_blk = jnp.where(transfer, x0, x_blk)
+        return jax.lax.dynamic_update_slice_in_dim(x, new_blk, block_start,
+                                                   axis=1)
+
     def step(s, carry):
         x, counts, key = carry
         block = s // spb
@@ -157,26 +187,133 @@ def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask,
 
         key, k_gumbel, k_rand = jax.random.split(key, 3)
         x_blk = jax.lax.dynamic_slice_in_dim(x, block_start, bl, axis=1)
-        mask_blk = x_blk == sc.mask_id
         logits = block_logits(x, block_start)
+        x = apply_transfer(x, x_blk, logits, k, k_gumbel, k_rand, block_start)
+        return (x, counts, key)
 
+    def _avoid_eos(logits):
+        if sc.avoid_eos and sc.eos_token_id is not None:
+            logits = logits.at[..., sc.eos_token_id].set(NEG_INF)
+        return logits
+
+    def _score(logits, x_blk, k_gumbel, k_rand):
+        """(x0, confidence) for a block's logits — shared scoring math."""
+        mask_blk = x_blk == sc.mask_id
         scores = gumbel_rescore(logits, sc.temperature, k_gumbel)
-        x0 = jnp.argmax(scores, axis=-1).astype(x.dtype)
-
+        x0 = jnp.argmax(scores, axis=-1).astype(x_blk.dtype)
         if sc.remasking == "low_confidence":
             x0_p = token_confidence(logits, x0)
             if sc.confidence_dtype == "bfloat16":
                 x0_p = x0_p.astype(jnp.bfloat16).astype(jnp.float32)
-        else:  # random
+        else:
             x0_p = jax.random.uniform(k_rand, x_blk.shape, jnp.float32)
-
         x0 = jnp.where(mask_blk, x0, x_blk)
         confidence = jnp.where(mask_blk, x0_p, NEG_INF)
+        return x0, confidence, mask_blk
 
-        transfer = rank_topk_mask(confidence, k)
-        new_blk = jnp.where(transfer, x0, x_blk)
-        x = jax.lax.dynamic_update_slice_in_dim(x, new_blk, block_start, axis=1)
-        return (x, counts, key)
+    if sc.parallel_threshold is not None:
+        # Confidence-threshold parallel decoding (Fast-dLLM): a dynamic
+        # while_loop per block in place of the fixed schedule — every
+        # masked position whose confidence clears the threshold unmasks
+        # this step (always at least the most confident one), so easy
+        # blocks finish in one or two forwards.  Composes with the dual
+        # cache: step 0 of each block refreshes, later steps are
+        # block-only.
+        thr = jnp.float32(sc.parallel_threshold)
+        use_cache = cached_fns is not None and sc.block_cache
+        if use_cache:
+            refresh_fn, step_fn, init_cache_fn = cached_fns
+            kc0, vc0 = init_cache_fn(B, S)
+        else:
+            kc0 = vc0 = jnp.zeros((), jnp.float32)  # unused carry slots
+
+        def block_body(b, carry):
+            x, key, kc, vc = carry
+            block_start = prompt_len + b * bl
+
+            def cond(st):
+                x, key, kc, vc, it = st
+                blk = jax.lax.dynamic_slice_in_dim(x, block_start, bl, axis=1)
+                return jnp.logical_and(jnp.any(blk == sc.mask_id), it < bl)
+
+            def body(st):
+                x, key, kc, vc, it = st
+                key, k_gumbel, k_rand = jax.random.split(key, 3)
+                x_blk = jax.lax.dynamic_slice_in_dim(x, block_start, bl,
+                                                     axis=1)
+                if use_cache:
+                    def do_refresh(x, x_blk, kc, vc):
+                        lg, kc, vc = refresh_fn(x, attn_mask, block_start, bl)
+                        return lg, kc, vc
+
+                    def do_cached(x, x_blk, kc, vc):
+                        return (step_fn(x_blk, block_start, kc, vc,
+                                        attn_mask), kc, vc)
+
+                    logits, kc, vc = jax.lax.cond(
+                        it == 0, do_refresh, do_cached, x, x_blk, kc, vc)
+                    logits = _avoid_eos(logits)
+                else:
+                    logits = block_logits(x, block_start)
+                x0, confidence, mask_blk = _score(logits, x_blk,
+                                                  k_gumbel, k_rand)
+                forced = jax.nn.one_hot(jnp.argmax(confidence, axis=-1), bl,
+                                        dtype=bool)
+                transfer = ((confidence > thr) | forced) & mask_blk
+                new_blk = jnp.where(transfer, x0, x_blk)
+                x = jax.lax.dynamic_update_slice_in_dim(x, new_blk,
+                                                        block_start, axis=1)
+                return (x, key, kc, vc, it + 1)
+
+            x, key, kc, vc, _ = jax.lax.while_loop(
+                cond, body, (x, key, kc, vc, jnp.int32(0)))
+            return (x, key, kc, vc)
+
+        num_blocks = sc.num_blocks
+        x, _, _, _ = jax.lax.fori_loop(0, num_blocks, block_body,
+                                       (x, key, kc0, vc0))
+        return x
+
+    if cached_fns is not None and sc.block_cache:
+        # Dual-cache mode (models/block_cache.py): step 0 of every block is
+        # a full refresh (and yields that step's logits); the remaining
+        # steps forward only the active block against the cache.
+        refresh_fn, step_fn, init_cache_fn = cached_fns
+        avoid_eos = _avoid_eos
+
+        def cstep(s, carry):
+            x, counts, key, kc, vc = carry
+            block = s // spb
+            i = s % spb
+            block_start = prompt_len + block * bl
+
+            counts = jax.lax.cond(
+                i == 0, lambda: compute_counts(x, block_start), lambda: counts
+            )
+            k = jnp.take(counts, i, axis=1)  # [B]
+
+            key, k_gumbel, k_rand = jax.random.split(key, 3)
+            x_blk = jax.lax.dynamic_slice_in_dim(x, block_start, bl, axis=1)
+
+            def do_refresh(x, x_blk, kc, vc):
+                lg, kc, vc = refresh_fn(x, attn_mask, block_start, bl)
+                return lg, kc, vc
+
+            def do_cached(x, x_blk, kc, vc):
+                return step_fn(x_blk, block_start, kc, vc, attn_mask), kc, vc
+
+            logits, kc, vc = jax.lax.cond(i == 0, do_refresh, do_cached,
+                                          x, x_blk, kc, vc)
+            logits = avoid_eos(logits)
+            x = apply_transfer(x, x_blk, logits, k, k_gumbel, k_rand,
+                               block_start)
+            return (x, counts, key, kc, vc)
+
+        counts0 = jnp.zeros((B, spb), jnp.int32)
+        kc0, vc0 = init_cache_fn(B, S)
+        x, _, _, _, _ = jax.lax.fori_loop(
+            0, sc.steps, cstep, (x, counts0, key, kc0, vc0))
+        return x
 
     counts0 = jnp.zeros((B, spb), jnp.int32)
     x, _, _ = jax.lax.fori_loop(0, sc.steps, step, (x, counts0, key))
@@ -187,14 +324,22 @@ def make_llada_sampler(
     forward_fn: Callable,
     sampler_config: LLaDASamplerConfig,
     prompt_len: int,
+    cached_fns=None,
 ) -> Callable:
     """Build the jitted sampler for a fixed (prompt_len, config) shape class.
 
     ``forward_fn(params, input_ids, attn_mask) -> (logits, aux)`` is the
     model forward (models.make_forward_fn output).  Returns
     ``sample(params, prompt_ids, attn_mask=None, key=None) -> [B, P+G]``.
+
+    ``cached_fns``: (refresh_fn, step_fn, init_cache_fn) from
+    ``models.block_cache.make_cached_fns`` — required when
+    ``sampler_config.block_cache`` is set (each takes ``params`` first).
     """
     sc = sampler_config
+    if sc.block_cache and cached_fns is None:
+        raise ValueError("block_cache=True needs cached_fns "
+                         "(models.block_cache.make_cached_fns(cfg))")
     # Detect logit-slice support on the *model* forward before it is wrapped
     # — the closure below forwards kwargs, so the capability carries through.
     supports_slice = _supports_logit_slice(forward_fn)
@@ -211,8 +356,16 @@ def make_llada_sampler(
             ones = jnp.ones((B, sc.gen_length), attn_mask.dtype)
             full_mask = jnp.concatenate([attn_mask, ones], axis=1)
         fwd = lambda ids, m, **kw: forward_fn(params, ids, m, **kw)
+        bound = None
+        if cached_fns is not None and sc.block_cache:
+            refresh_fn, step_fn, init_cache_fn = cached_fns
+            bound = (
+                lambda ids, m, bs, bl: refresh_fn(params, ids, m, bs, bl),
+                lambda blk, bs, kc, vc, m: step_fn(params, blk, bs, kc, vc, m),
+                lambda B_, S_: init_cache_fn(params, B_, S_),
+            )
         return _denoise_loop(fwd, sc, x, prompt_len, full_mask, key,
-                             supports_slice=supports_slice)
+                             supports_slice=supports_slice, cached_fns=bound)
 
     return sample
 
@@ -236,6 +389,9 @@ def llada_generate(
     avoid_eos: bool = False,
     eos_token_id: Optional[int] = None,
     confidence_dtype: str = "float32",
+    block_cache: bool = False,
+    cached_fns=None,
+    parallel_threshold: Optional[float] = None,
     attn_mask: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
@@ -243,18 +399,24 @@ def llada_generate(
 
     Same signature semantics as Inference/chat_finetuned.py:35-106, returning
     [B, prompt_len + gen_length] token ids.
+
+    ``block_cache`` + ``cached_fns`` (models.block_cache.make_cached_fns):
+    opt-in dual-cache accelerated decode — see models/block_cache.py for the
+    approximation contract.
     """
     sc = LLaDASamplerConfig(
         steps=steps, gen_length=gen_length, block_length=block_length,
         temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
         mask_id=mask_id, avoid_eos=avoid_eos, eos_token_id=eos_token_id,
-        confidence_dtype=confidence_dtype,
+        confidence_dtype=confidence_dtype, block_cache=block_cache,
+        parallel_threshold=parallel_threshold,
     )
     prompt_len = int(prompt_ids.shape[1])
-    cache_key = (id(forward_fn), dataclasses.astuple(sc), prompt_len,
-                 prompt_ids.shape[0], attn_mask is not None)
+    cache_key = (id(forward_fn), id(cached_fns), dataclasses.astuple(sc),
+                 prompt_len, prompt_ids.shape[0], attn_mask is not None)
     sampler = _SAMPLER_CACHE.get(cache_key)
     if sampler is None:
-        sampler = make_llada_sampler(forward_fn, sc, prompt_len)
+        sampler = make_llada_sampler(forward_fn, sc, prompt_len,
+                                     cached_fns=cached_fns)
         _SAMPLER_CACHE[cache_key] = sampler
     return sampler(params, prompt_ids, attn_mask=attn_mask, key=key)
