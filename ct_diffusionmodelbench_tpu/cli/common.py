@@ -29,6 +29,13 @@ def add_parallel_flags(p) -> None:
                         "drops from full-sequence to the active block; "
                         "LLaDA families, single chip). Default: the exact "
                         "sampler")
+    p.add_argument("--quant", type=str, default=None,
+                   choices=["int8"],
+                   help="Opt-in weight-only int8 quantization (per-output-"
+                        "channel symmetric): serves models that overflow one "
+                        "chip in bf16 (LLaDA-8B: 16.3 GB bf16 -> 8.2 GB "
+                        "int8) WITHOUT a mesh. Approximate (weight "
+                        "rounding); bf16 under --tp stays the exact path")
     p.add_argument("--parallel-threshold", type=float, default=None,
                    help="Opt-in Fast-dLLM confidence-threshold parallel "
                         "decoding: unmask every position whose confidence "
@@ -45,18 +52,19 @@ def runner_from_args(args) -> ModelRunner:
     dp = getattr(args, "dp", 1)
     tp = getattr(args, "tp", 1)
     accel = getattr(args, "accel", None)
+    quant = getattr(args, "quant", None)
     mask_id = getattr(args, "mask_id", None)
     pthr = getattr(args, "parallel_threshold", None)
     if getattr(args, "preset", None):
         runner = ModelRunner.random_init(args.preset, dp=dp, tp=tp,
-                                         accel=accel)
+                                         accel=accel, quant=quant)
         if mask_id is not None:
             runner.mask_id = mask_id
         runner.parallel_threshold = pthr
         return runner
     if getattr(args, "model_dir", None):
         runner = ModelRunner.from_dir(args.model_dir, mask_id_override=mask_id,
-                                      dp=dp, tp=tp, accel=accel)
+                                      dp=dp, tp=tp, accel=accel, quant=quant)
         runner.parallel_threshold = pthr
         return runner
     raise SystemExit("need --model-dir or --preset")

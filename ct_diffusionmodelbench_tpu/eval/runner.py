@@ -63,7 +63,8 @@ class ModelRunner:
                  mask_id_override: Optional[int] = None,
                  prompt_bucket: int = 64,
                  mesh=None,
-                 accel: Optional[str] = None):
+                 accel: Optional[str] = None,
+                 quant: Optional[str] = None):
         """``mesh``: a (data, model) jax.sharding.Mesh — parameters are
         placed per the megatron-style TP rules (parallel/sharding.py) and
         the forward becomes the jitted TP/DP-sharded graph.  This is the
@@ -76,6 +77,24 @@ class ModelRunner:
         self.tokenizer = tokenizer
         self.family = family or infer_family(cfg)
         self.mesh = mesh
+        # quant="int8": weight-only per-channel int8 serving (ops/quant.py)
+        # — the single-chip answer to checkpoints that overflow one device
+        # (LLaDA-8B bf16 16.3 GB > 16 GB HBM; the reference splits across
+        # GPUs with device_map="auto", llada.py:137-141).  Approximate
+        # (weight rounding), so opt-in; TP>=2 bf16 remains the exact path.
+        self.quant = quant
+        if quant is not None:
+            if quant != "int8":
+                raise ValueError(f"unknown quant mode {quant!r} "
+                                 "(supported: 'int8')")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "quant='int8' is the single-chip alternative to a mesh "
+                    "— drop --dp/--tp or the quant flag")
+            from ct_diffusionmodelbench_tpu.ops.quant import (
+                is_quantized, quantize_params)
+            if not is_quantized(params["blocks"]["wq"]):
+                params = quantize_params(params)
         if mesh is not None:
             from ct_diffusionmodelbench_tpu.parallel import (
                 make_sharded_forward, shard_params)
@@ -131,7 +150,11 @@ class ModelRunner:
                  mask_id_override: Optional[int] = None,
                  dtype: Optional[str] = None,
                  dp: int = 1, tp: int = 1,
-                 accel: Optional[str] = None) -> "ModelRunner":
+                 accel: Optional[str] = None,
+                 quant: Optional[str] = None) -> "ModelRunner":
+        # load_checkpoint returns HOST arrays; with quant, quantize_params
+        # moves them to the device leaf-by-leaf, so the device never holds
+        # the bf16 tree (one transient leaf at a time).
         cfg, params = load_checkpoint(model_dir, dtype=dtype)
         try:
             tokenizer = Tokenizer.from_pretrained(model_dir)
@@ -141,24 +164,33 @@ class ModelRunner:
                 eos_token_id=cfg.eos_token_id or 2)
         return cls(cfg, params, tokenizer, family=family,
                    mask_id_override=mask_id_override,
-                   mesh=_maybe_mesh(dp, tp), accel=accel)
+                   mesh=_maybe_mesh(dp, tp), accel=accel, quant=quant)
 
     @classmethod
     def random_init(cls, preset: str, seed: int = 0,
                     family: Optional[str] = None,
                     dp: int = 1, tp: int = 1,
-                    accel: Optional[str] = None) -> "ModelRunner":
+                    accel: Optional[str] = None,
+                    quant: Optional[str] = None) -> "ModelRunner":
         from ct_diffusionmodelbench_tpu.models.transformer import init_params
 
         cfg = get_config(preset)
         if jax.default_backend() != "tpu" and cfg.dtype == "bfloat16":
             # CPU XLA lacks bf16 dot thunks for some ops (e.g. ragged_dot).
             cfg = cfg.replace(dtype="float32")
-        params = init_params(cfg, jax.random.key(seed))
+        leaf_transform = None
+        if quant == "int8":
+            # Quantize each leaf AS it is built: a full-size LLaDA-8B init
+            # never materializes the 16.3 GB bf16 tree its int8 form replaces.
+            from ct_diffusionmodelbench_tpu.ops.quant import (
+                quantized_leaf_transform)
+            leaf_transform = quantized_leaf_transform
+        params = init_params(cfg, jax.random.key(seed),
+                             leaf_transform=leaf_transform)
         tokenizer = Tokenizer.byte_fallback(vocab_size=cfg.vocab_size,
                                             eos_token_id=cfg.eos_token_id or 2)
         return cls(cfg, params, tokenizer, family=family,
-                   mesh=_maybe_mesh(dp, tp), accel=accel)
+                   mesh=_maybe_mesh(dp, tp), accel=accel, quant=quant)
 
     # -- generation ----------------------------------------------------
 

@@ -9,3 +9,4 @@ from ct_diffusionmodelbench_tpu.models.transformer import (
     forward,
     make_forward_fn,
 )
+from ct_diffusionmodelbench_tpu.models.block_cache import make_cached_fns

@@ -51,6 +51,7 @@ from ct_diffusionmodelbench_tpu.models.transformer import (
     moe_stacked_mode,
 )
 from ct_diffusionmodelbench_tpu.ops.attention import attention, attention_reference
+from ct_diffusionmodelbench_tpu.ops.quant import qdot
 
 
 def _check_supported(cfg: ModelConfig) -> None:
@@ -85,7 +86,7 @@ def _lm_head(cfg, params, x):
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
-    return jnp.dot(x, head, preferred_element_type=jnp.float32)
+    return qdot(x, head)
 
 
 def forward_refresh(cfg: ModelConfig, params: dict, input_ids: jnp.ndarray,
@@ -114,8 +115,7 @@ def forward_refresh(cfg: ModelConfig, params: dict, input_ids: jnp.ndarray,
         attn = attention(qr, kr, v, mask=attn_mask, impl=cfg.attn_impl,
                          causal=False)
         attn = attn.reshape(B, S, H * Dh)
-        x = x + jnp.dot(attn, lp["wo"],
-                        preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + qdot(attn, lp["wo"]).astype(x.dtype)
         ffn, _ = _ffn_block(cfg, x, lp, stacks, li)
         return x + ffn, (kr, v)
 
@@ -162,8 +162,7 @@ def forward_cached_step(cfg: ModelConfig, params: dict,
         # — the flash kernel would gain nothing here.
         attn = attention_reference(qr, k_full, v_full, mask=attn_mask)
         attn = attn.reshape(B, bl, H * Dh)
-        x = x + jnp.dot(attn, lp["wo"],
-                        preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + qdot(attn, lp["wo"]).astype(x.dtype)
         ffn, _ = _ffn_block(cfg, x, lp, stacks, li)
         return x + ffn, None
 

@@ -45,7 +45,9 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def swiglu(x: jnp.ndarray, w_gate: jnp.ndarray, w_up: jnp.ndarray, w_down: jnp.ndarray) -> jnp.ndarray:
-    gate = jnp.dot(x, w_gate, preferred_element_type=jnp.float32)
-    up = jnp.dot(x, w_up, preferred_element_type=jnp.float32)
+    from ct_diffusionmodelbench_tpu.ops.quant import qdot
+
+    gate = qdot(x, w_gate)
+    up = qdot(x, w_up)
     h = (jax.nn.silu(gate) * up).astype(x.dtype)
-    return jnp.dot(h, w_down, preferred_element_type=jnp.float32).astype(x.dtype)
+    return qdot(h, w_down).astype(x.dtype)

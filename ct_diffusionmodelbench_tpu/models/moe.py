@@ -96,9 +96,30 @@ def moe_block(
             impl = "dense"
         else:
             impl = "grouped" if jax.default_backend() == "tpu" else "dense"
+    from ct_diffusionmodelbench_tpu.ops.quant import (
+        dequantize_tensor, is_quantized)
+
     we = [params["we_gate"], params["we_up"], params["we_down"]]
     li = layer_index
-    if li is not None and we[0].ndim == 4 and impl == "dense":
+    quantized = is_quantized(we[0])
+    if quantized:
+        # Weight-only int8 serving (ops/quant.py).  Lane-aligned shapes ride
+        # the int8 manual-DMA grouped kernels (half the expert weight
+        # stream); everything else dequantizes this layer's experts here
+        # and proceeds on bf16.
+        shp = we[0]["q"].shape
+        aligned = shp[-2] % 128 == 0 and shp[-1] % 128 == 0
+        if impl != "grouped" or not aligned:
+            if li is not None and we[0]["q"].ndim == 4:
+                we = [{"q": jax.lax.dynamic_index_in_dim(w["q"], li, 0,
+                                                         keepdims=False),
+                       "s": jax.lax.dynamic_index_in_dim(w["s"], li, 0,
+                                                         keepdims=False)}
+                      for w in we]
+                li = None
+            we = [dequantize_tensor(w, x.dtype) for w in we]
+            quantized = False
+    if not quantized and li is not None and we[0].ndim == 4 and impl == "dense":
         # The one-hot einsum oracle needs per-layer 3-D tensors.
         we = [jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
               for w in we]

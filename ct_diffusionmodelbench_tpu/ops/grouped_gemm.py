@@ -32,13 +32,12 @@ def _sort_by_expert(topk_idx: jnp.ndarray, num_experts: int):
     Returns (dest [M] sorted position per natural slot, token_of [M] source
     token per *sorted* row, group_sizes [E]).
     """
+    from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import expert_rank
+
     n, k = topk_idx.shape
     m = n * k
     flat = topk_idx.reshape(-1).astype(jnp.int32)
-    onehot = flat[:, None] == jnp.arange(num_experts, dtype=jnp.int32)[None, :]
-    csum = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
-    rank = jnp.sum(jnp.where(onehot, csum - 1, 0), axis=1)
-    group_sizes = csum[-1]
+    rank, group_sizes = expert_rank(flat, num_experts)
     starts = jnp.cumsum(group_sizes) - group_sizes
     dest = jnp.take(starts, flat) + rank                   # slot → sorted row
     token_of = jnp.zeros((m,), jnp.int32).at[dest].set(
@@ -61,7 +60,12 @@ def grouped_expert_ffn(
     # tools/profile_moe.py), and it is the only backend that can consume the
     # stacked [L, E, D, Fm] weights without a per-layer slice copy.
     # CTDB_GROUPED_GEMM=pallas|ragged forces a backend.
-    if we_gate.ndim == 4 and layer_index is None:
+    from ct_diffusionmodelbench_tpu.ops.quant import (
+        dequantize_tensor, is_quantized)
+
+    quantized = is_quantized(we_gate)
+    wg_arr = we_gate["q"] if quantized else we_gate
+    if wg_arr.ndim == 4 and layer_index is None:
         raise ValueError(
             "stacked [L, E, D, Fm] expert weights require layer_index "
             "(defaulting to layer 0 would silently compute with the wrong "
@@ -69,6 +73,28 @@ def grouped_expert_ffn(
     choice = os.environ.get("CTDB_GROUPED_GEMM")
     if choice is None:
         choice = "pallas" if jax.default_backend() == "tpu" else "ragged"
+    if quantized and choice == "pallas":
+        # int8 serving path: straight to the kernels (no custom_vjp —
+        # quantized weights are inference-only).
+        from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import (
+            grouped_expert_ffn_pallas)
+
+        li = None if wg_arr.ndim == 3 else jnp.asarray(layer_index, jnp.int32)
+        return grouped_expert_ffn_pallas(x, topk_probs, topk_idx,
+                                         we_gate, we_up, we_down,
+                                         layer_index=li)
+    if quantized:
+        # ragged backend has no int8 form — dequantize (slicing the stack
+        # first keeps the copy per-layer-sized).
+        we = [we_gate, we_up, we_down]
+        if layer_index is not None and wg_arr.ndim == 4:
+            we = [{"q": jax.lax.dynamic_index_in_dim(w["q"], layer_index, 0,
+                                                     keepdims=False),
+                   "s": jax.lax.dynamic_index_in_dim(w["s"], layer_index, 0,
+                                                     keepdims=False)}
+                  for w in we]
+            layer_index = None
+        we_gate, we_up, we_down = (dequantize_tensor(w, x.dtype) for w in we)
     if choice == "pallas":
         li = jnp.asarray(
             0 if layer_index is None else layer_index, jnp.int32)

@@ -72,6 +72,51 @@ def _round_up_arr(x, m):
     return (x + m - 1) // m * m
 
 
+def expert_rank(flat: jnp.ndarray, e: int):
+    """(rank-within-expert, per-expert counts) for a flat [M] expert-id
+    vector — the core of the counting-sort routing layout.
+
+    Two exact formulations (``CTDB_ROUTING_RANK`` selects; both
+    integer-exact, oracle-tested against each other):
+
+    - ``chunked`` (default): reshape to [C, R] chunks; the within-chunk
+      prefix count is a strictly-lower-triangular [R, R] x [R, E] MATMUL
+      per chunk (0/1 bf16 operands, f32 accumulation — exact for any R),
+      so the long-axis scan runs on the MXU; only the tiny [C, E]
+      chunk-offset table needs a sequential cumsum.
+    - ``cumsum``: the direct jnp.cumsum over [M, E] — a log2(M)-pass
+      shift-add ladder over the full one-hot matrix on TPU.
+    """
+    m = flat.shape[0]
+    flat = flat.astype(jnp.int32)
+    if os.environ.get("CTDB_ROUTING_RANK", "chunked") == "cumsum" or m <= 256:
+        onehot = flat[:, None] == jnp.arange(e, dtype=jnp.int32)[None, :]
+        csum = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
+        rank = jnp.sum(jnp.where(onehot, csum - 1, 0), axis=1)
+        return rank, csum[-1]
+
+    r = 512
+    c = (m + r - 1) // r
+    pad = c * r - m
+    flat_p = jnp.pad(flat, (0, pad), constant_values=-1)      # -1: no expert
+    oh = (flat_p[:, None] == jnp.arange(e, dtype=jnp.int32)[None, :])
+    ohf = oh.astype(jnp.bfloat16).reshape(c, r, e)
+    # #{j < i in chunk with the same expert}: strict lower-triangular ones.
+    ltri = jnp.tril(jnp.ones((r, r), jnp.bfloat16), k=-1)
+    intra = jax.lax.dot_general(
+        ltri, ohf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [R, C, E]
+    intra = jnp.swapaxes(intra, 0, 1)                         # [C, R, E]
+    counts = jnp.sum(ohf.astype(jnp.float32), axis=1)         # [C, E]
+    offsets = jnp.cumsum(counts, axis=0) - counts             # [C, E] exclusive
+    rank_f = jnp.sum(
+        jnp.where(oh.reshape(c, r, e), intra + offsets[:, None, :], 0.0),
+        axis=-1)                                              # [C, R]
+    rank = rank_f.reshape(-1)[:m].astype(jnp.int32)
+    sizes = jnp.sum(counts, axis=0).astype(jnp.int32)
+    return rank, sizes
+
+
 def counting_layout(topk_idx: jnp.ndarray, e: int, tile_m: int = TILE_M):
     """Expert-aligned padded row layout WITHOUT a sort.
 
@@ -92,10 +137,7 @@ def counting_layout(topk_idx: jnp.ndarray, e: int, tile_m: int = TILE_M):
     m = flat.shape[0]
     m_pad = _round_up(m, tile_m) + e * tile_m                # static worst case
 
-    onehot = flat[:, None] == jnp.arange(e, dtype=jnp.int32)[None, :]
-    csum = jnp.cumsum(onehot.astype(jnp.int32), axis=0)      # [M, E]
-    rank = jnp.sum(jnp.where(onehot, csum - 1, 0), axis=1)   # [M]
-    sizes = csum[-1]                                         # [E]
+    rank, sizes = expert_rank(flat, e)                       # [M], [E]
 
     padded_sizes = _round_up_arr(sizes, tile_m)
     pstarts = jnp.cumsum(padded_sizes) - padded_sizes        # [E]
@@ -339,9 +381,13 @@ def grouped_expert_ffn_pallas(
     layer tensors directly (scalar-prefetched layer id) — the caller's
     lax.scan over layers never slices the expert stack (an HBM->HBM copy,
     +3.96 ms/layer at the bench shape — tools/probe_slice_copy.py)."""
+    from ct_diffusionmodelbench_tpu.ops.quant import is_quantized
+
+    quantized = is_quantized(we_gate)
+    wg_arr = we_gate["q"] if quantized else we_gate
     n, d = x.shape
     k = topk_idx.shape[1]
-    e = we_gate.shape[-3]
+    e = wg_arr.shape[-3]
     m = n * k
 
     env_tm = os.environ.get("CTDB_GROUPED_TILE_M")
@@ -369,8 +415,21 @@ def grouped_expert_ffn_pallas(
     # SLOWER at both the batched (3.54 vs 3.36) and single-sample (1.19 vs
     # 1.13) bench shapes — the pair stays the default; the megakernel is
     # kept as a tested alternative for shapes where h-round-trip dominates.
-    fm = we_gate.shape[-1]
+    fm = wg_arr.shape[-1]
     aligned = d % 128 == 0 and fm % 128 == 0
+    if quantized:
+        # int8 serving path: the manual-DMA pair kernels with in-kernel
+        # dequant (run-start cast + accumulator-epilogue scale).  Quantized
+        # presets are all lane-aligned; unaligned tiny configs dequantize in
+        # moe_block before reaching here.
+        if not aligned:
+            raise ValueError(
+                f"int8 grouped FFN needs D, F % 128 == 0, got {d}, {fm}")
+        h = grouped_gateup_manual_q(xs_padded, we_gate, we_up, tile_expert,
+                                    tile_m, layer_index=layer_index)
+        out_padded = grouped_matmul_manual_q(h, we_down, tile_expert, tile_m,
+                                             layer_index=layer_index)
+        return _combine(out_padded, dest, topk_probs, n, k, d, x.dtype)
     fused = os.environ.get("CTDB_GROUPED_FUSED", "0") == "1" and aligned
     # CTDB_GROUPED_MANUAL: "1" = manual-DMA pair (gate/up + down both with
     # NSLOTS weight pipelining), "gateup" = manual gate/up + auto down,
@@ -402,22 +461,28 @@ def grouped_expert_ffn_pallas(
                                                tile_m,
                                                layer_index=layer_index)
 
-    # slot (natural (token, k) order) → its padded row.  Two formulations:
-    # - "kloop" (default): K accumulated gathers of [N, D] — XLA fuses each
-    #   take+scale+add, so the [M, D] slot matrix is never materialized
-    #   (saves its write + re-read, ~170 MB/layer at the batch-8 bench shape)
-    # - "gather": one [M, D] gather + reshape-sum (the round-2 formulation)
+    return _combine(out_padded, dest, topk_probs, n, k, d, x.dtype)
+
+
+def _combine(out_padded, dest, topk_probs, n, k, d, dtype):
+    """Weighted unsort: padded expert-run rows → [N, D].  Two formulations:
+
+    - "kloop" (default): K accumulated gathers of [N, D] — XLA fuses each
+      take+scale+add, so the [M, D] slot matrix is never materialized
+      (saves its write + re-read, ~170 MB/layer at the batch-8 bench shape)
+    - "gather": one [M, D] gather + reshape-sum (the round-2 formulation)
+    """
     if os.environ.get("CTDB_GROUPED_COMBINE", "kloop") == "kloop":
         dest_k = dest.reshape(n, k)
         out = jnp.zeros((n, d), jnp.float32)
         for kk in range(k):
             rows = jnp.take(out_padded, dest_k[:, kk], axis=0, mode="clip")
             out = out + rows.astype(jnp.float32) * topk_probs[:, kk][:, None]
-        return out.astype(x.dtype)
+        return out.astype(dtype)
     out_slots = jnp.take(out_padded, dest, axis=0, mode="clip")
     contrib = out_slots.astype(jnp.float32).reshape(n, k, d) \
         * topk_probs[..., None]
-    return contrib.sum(axis=1).astype(x.dtype)
+    return contrib.sum(axis=1).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -836,6 +901,275 @@ def grouped_matmul_manual(
         ),
         interpret=jax.default_backend() != "tpu",
     )(*scalars, x_padded, w)
+
+
+# ---------------------------------------------------------------------------
+# int8 weight-only manual-DMA pair kernels
+# ---------------------------------------------------------------------------
+# Serving quantization (ops/quant.py): expert weights arrive as
+# {"q": int8 [E, D, F] or [L, E, D, F], "s": f32 [E, F] / [L, E, F]}.  The
+# manual weight pipeline DMAs the int8 tensors (HALF the HBM stream that
+# bounds single-sample decode) into NSLOTS int8 slots; at each expert-run
+# start the current slot is cast once into a single bf16 working buffer
+# (int8 values are exact in bf16) and the per-output-channel scale is applied
+# to the f32 accumulator in the tile epilogue — mathematically the same
+# ``(x @ q) * s`` as ops/quant.py qdot.
+
+
+def _gateup_manual_q_kernel(*refs, stacked: bool):
+    if stacked:
+        (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref, li_ref,
+         x_ref, wgq_hbm, wuq_hbm, sg_hbm, su_hbm, h_ref,
+         wgq_buf, wuq_buf, sg_buf, su_buf, wg_bf, wu_bf, sems) = refs
+    else:
+        (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref,
+         x_ref, wgq_hbm, wuq_hbm, sg_hbm, su_hbm, h_ref,
+         wgq_buf, wuq_buf, sg_buf, su_buf, wg_bf, wu_bf, sems) = refs
+        li_ref = None
+
+    i = pl.program_id(0)
+    slot = slot_ref[i]
+
+    def copies(e, s):
+        def src(hbm):
+            return hbm.at[li_ref[0], e] if stacked else hbm.at[e]
+        return (
+            pltpu.make_async_copy(src(wgq_hbm), wgq_buf.at[s], sems.at[s, 0]),
+            pltpu.make_async_copy(src(wuq_hbm), wuq_buf.at[s], sems.at[s, 1]),
+            pltpu.make_async_copy(src(sg_hbm), sg_buf.at[s], sems.at[s, 2]),
+            pltpu.make_async_copy(src(su_hbm), su_buf.at[s], sems.at[s, 3]),
+        )
+
+    @pl.when(i == 0)
+    def _():  # bootstrap runs 0 and 1
+        for c in copies(te_ref[0], slot):
+            c.start()
+        nxt = nxt_ref[0]
+
+        @pl.when(nxt >= 0)
+        def _():
+            for c in copies(nxt, (slot + 1) % NSLOTS):
+                c.start()
+
+    @pl.when(start_ref[i] == 1)
+    def _():
+        for c in copies(te_ref[i], slot):
+            c.wait()
+        nxt2 = nxt2_ref[i]
+
+        @pl.when(nxt2 >= 0)
+        def _():  # two-run lookahead
+            for c in copies(nxt2, jax.lax.rem(slot + 2, NSLOTS)):
+                c.start()
+
+        # One cast per expert RUN (not per row tile): int8 -> bf16 working
+        # copies; the scale stays out of the weights (applied to the f32
+        # accumulator below, like qdot).
+        def dequant(s: int):
+            def _():
+                wg_bf[...] = wgq_buf[s].astype(wg_bf.dtype)
+                wu_bf[...] = wuq_buf[s].astype(wu_bf.dtype)
+            return _
+
+        for s in range(NSLOTS):
+            pl.when(slot == s)(dequant(s))
+
+    x = x_ref[...]
+    gate = jax.lax.dot_general(
+        x, wg_bf[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    up = jax.lax.dot_general(
+        x, wu_bf[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    def epilogue(s: int):
+        def _():
+            g = gate * sg_buf[s][None, :]
+            u = up * su_buf[s][None, :]
+            h_ref[...] = (jax.nn.silu(g) * u).astype(h_ref.dtype)
+        return _
+
+    for s in range(NSLOTS):
+        pl.when(slot == s)(epilogue(s))
+
+
+def _matmul_manual_q_kernel(*refs, stacked: bool):
+    if stacked:
+        (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref, li_ref,
+         x_ref, wq_hbm, s_hbm, o_ref, wq_buf, s_buf, w_bf, sems) = refs
+    else:
+        (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref,
+         x_ref, wq_hbm, s_hbm, o_ref, wq_buf, s_buf, w_bf, sems) = refs
+        li_ref = None
+
+    i = pl.program_id(0)
+    slot = slot_ref[i]
+
+    def copies(e, s):
+        def src(hbm):
+            return hbm.at[li_ref[0], e] if stacked else hbm.at[e]
+        return (
+            pltpu.make_async_copy(src(wq_hbm), wq_buf.at[s], sems.at[s, 0]),
+            pltpu.make_async_copy(src(s_hbm), s_buf.at[s], sems.at[s, 1]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for c in copies(te_ref[0], slot):
+            c.start()
+        nxt = nxt_ref[0]
+
+        @pl.when(nxt >= 0)
+        def _():
+            for c in copies(nxt, (slot + 1) % NSLOTS):
+                c.start()
+
+    @pl.when(start_ref[i] == 1)
+    def _():
+        for c in copies(te_ref[i], slot):
+            c.wait()
+        nxt2 = nxt2_ref[i]
+
+        @pl.when(nxt2 >= 0)
+        def _():
+            for c in copies(nxt2, jax.lax.rem(slot + 2, NSLOTS)):
+                c.start()
+
+        def dequant(s: int):
+            def _():
+                w_bf[...] = wq_buf[s].astype(w_bf.dtype)
+            return _
+
+        for s in range(NSLOTS):
+            pl.when(slot == s)(dequant(s))
+
+    acc = jax.lax.dot_general(
+        x_ref[...], w_bf[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    def epilogue(s: int):
+        def _():
+            o_ref[...] = (acc * s_buf[s][None, :]).astype(o_ref.dtype)
+        return _
+
+    for s in range(NSLOTS):
+        pl.when(slot == s)(epilogue(s))
+
+
+def grouped_gateup_manual_q(
+    x_padded: jnp.ndarray,     # [M_pad, D]
+    we_gate: dict,             # {"q": [E, D, F] i8 (+L), "s": [E, F] f32}
+    we_up: dict,
+    tile_expert: jnp.ndarray,
+    tile_m: int = TILE_M,
+    layer_index: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    m_pad, d = x_padded.shape
+    qg, sg = we_gate["q"], we_gate["s"].astype(jnp.float32)
+    qu, su = we_up["q"], we_up["s"].astype(jnp.float32)
+    e, _, f = qg.shape[-3:]
+    stacked = qg.ndim == 4
+    if d % 128 or f % 128:
+        raise ValueError(f"manual gate/up needs D, F % 128 == 0, got {d}, {f}")
+
+    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6 if stacked else 5,
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, d), lambda i, *s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile_m, f), lambda i, *s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOTS, d, f), jnp.int8),
+            pltpu.VMEM((NSLOTS, d, f), jnp.int8),
+            pltpu.VMEM((NSLOTS, f), jnp.float32),
+            pltpu.VMEM((NSLOTS, f), jnp.float32),
+            pltpu.VMEM((d, f), x_padded.dtype),
+            pltpu.VMEM((d, f), x_padded.dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS, 4)),
+        ],
+    )
+    scalars = [tile_expert, nxt, nxt2, start, slot]
+    if stacked:
+        scalars.append(jnp.asarray(layer_index, jnp.int32).reshape(1))
+    scratch_bytes = (2 * NSLOTS + 4) * d * f + 2 * NSLOTS * f * 4
+    blocks_bytes = 2 * tile_m * (d + f) * x_padded.dtype.itemsize
+    return pl.pallas_call(
+        functools.partial(_gateup_manual_q_kernel, stacked=stacked),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, f), x_padded.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=scratch_bytes + 3 * blocks_bytes + (5 << 20),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * d * f,
+            bytes_accessed=(x_padded.size + m_pad * f) * x_padded.dtype.itemsize
+            + 2 * e * d * f,
+            transcendentals=m_pad * f,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*scalars, x_padded, qg, qu, sg, su)
+
+
+def grouped_matmul_manual_q(
+    x_padded: jnp.ndarray,     # [M_pad, F]
+    w: dict,                   # {"q": [E, F, D] i8 (+L), "s": [E, D] f32}
+    tile_expert: jnp.ndarray,
+    tile_m: int = TILE_M,
+    layer_index: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    m_pad, f = x_padded.shape
+    qw, sw = w["q"], w["s"].astype(jnp.float32)
+    e, _, d = qw.shape[-3:]
+    stacked = qw.ndim == 4
+    if d % 128 or f % 128:
+        raise ValueError(f"manual matmul needs dims % 128 == 0, got {f}, {d}")
+
+    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6 if stacked else 5,
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, f), lambda i, *s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile_m, d), lambda i, *s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOTS, f, d), jnp.int8),
+            pltpu.VMEM((NSLOTS, d), jnp.float32),
+            pltpu.VMEM((f, d), x_padded.dtype),
+            pltpu.SemaphoreType.DMA((NSLOTS, 2)),
+        ],
+    )
+    scalars = [tile_expert, nxt, nxt2, start, slot]
+    if stacked:
+        scalars.append(jnp.asarray(layer_index, jnp.int32).reshape(1))
+    scratch_bytes = (NSLOTS + 2) * f * d + NSLOTS * d * 4
+    blocks_bytes = 2 * tile_m * (d + f) * x_padded.dtype.itemsize
+    return pl.pallas_call(
+        functools.partial(_matmul_manual_q_kernel, stacked=stacked),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), x_padded.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=scratch_bytes + 3 * blocks_bytes + (5 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * f * d,
+            bytes_accessed=(x_padded.size + m_pad * d) * x_padded.dtype.itemsize
+            + e * f * d,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*scalars, x_padded, qw, sw)
 
 
 def ragged_matmul(xs_sorted, w, group_sizes, tile_m: int = TILE_M):

@@ -259,3 +259,35 @@ def test_counting_layout_matches_numpy_reference():
         for t in range(m_pad // tile_m):
             owner = int(np.searchsorted(pend, t * tile_m, side="right"))
             assert tile_expert[t] == min(owner, e - 1)
+
+
+def test_expert_rank_chunked_matches_cumsum():
+    """The MXU-friendly chunked (triangular-matmul) rank formulation is
+    integer-exact against the direct one-hot cumsum at sizes that exercise
+    the chunk path (M > 256), including a ragged final chunk and a
+    single-expert degenerate routing."""
+    import os
+
+    from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import expert_rank
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(0, 64, size=2048).astype(np.int32),      # multiple of 512
+        rng.integers(0, 7, size=1300).astype(np.int32),       # ragged chunk
+        np.full(777, 3, np.int32),                            # one expert
+        rng.integers(0, 64, size=300).astype(np.int32),       # barely chunked
+    ]
+    for flat in cases:
+        e = int(flat.max()) + 1 if flat.size else 1
+        e = max(e, 5)
+        os.environ["CTDB_ROUTING_RANK"] = "cumsum"
+        try:
+            want_rank, want_sizes = expert_rank(jnp.asarray(flat), e)
+            os.environ["CTDB_ROUTING_RANK"] = "chunked"
+            got_rank, got_sizes = expert_rank(jnp.asarray(flat), e)
+        finally:
+            os.environ.pop("CTDB_ROUTING_RANK", None)
+        np.testing.assert_array_equal(np.asarray(got_rank),
+                                      np.asarray(want_rank))
+        np.testing.assert_array_equal(np.asarray(got_sizes),
+                                      np.asarray(want_sizes))

@@ -44,11 +44,13 @@ def main():
     ap.add_argument("--model", default="llada-moe-7b")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--quant", default="none", choices=["none", "int8", "both"],
+                    help="int8: run every mode on int8 weights; both: bf16 "
+                         "exact first, then the int8 modes (one contention "
+                         "window -> fair bf16-vs-int8 ratio)")
     args = ap.parse_args()
 
     cfg = get_config(args.model)
-    params = init_params(cfg, jax.random.key(0))
-    jax.block_until_ready(params)
     fwd = make_forward_fn(cfg)
     cached = make_cached_fns(cfg)
 
@@ -56,7 +58,18 @@ def main():
     prompt = jax.random.randint(jax.random.key(1), (args.batch, PROMPT_LEN),
                                 10, hi)
 
-    def run(**kw):
+    def make_params(quant: bool):
+        if quant:
+            from ct_diffusionmodelbench_tpu.ops.quant import (
+                quantized_leaf_transform)
+            p = init_params(cfg, jax.random.key(0),
+                            leaf_transform=quantized_leaf_transform)
+        else:
+            p = init_params(cfg, jax.random.key(0))
+        jax.block_until_ready(p)
+        return p
+
+    def run(params, **kw):
         return np.asarray(llada_generate(
             fwd, params, prompt, steps=STEPS, gen_length=GEN,
             block_length=BL, temperature=0.0, mask_id=cfg.mask_token_id,
@@ -68,24 +81,36 @@ def main():
         ("block-cache+thr0.9", dict(block_cache=True, cached_fns=cached,
                                     parallel_threshold=0.9)),
     ]
+    plans = []  # (label suffix, quantized, modes)
+    if args.quant == "none":
+        plans = [("", False, modes)]
+    elif args.quant == "int8":
+        plans = [("-int8", True, modes)]
+    else:
+        plans = [("", False, modes[:1]), ("-int8", True, modes)]
+
     print(json.dumps({"sanity_ms_before": round(sanity_ms(), 3)}))
     results = {}
-    for name, kw in modes:
-        out = run(**kw)  # compile+warm
-        assert (out[:, PROMPT_LEN:] == cfg.mask_token_id).mean() < 0.05, name
-        ts = []
-        for _ in range(args.reps):
-            t0 = time.time()
-            run(**kw)
-            ts.append(time.time() - t0)
-        dt = float(np.median(ts))
-        results[name] = dt
-        print(json.dumps({
-            "mode": name, "batch": args.batch,
-            "seconds_per_batch": round(dt, 3),
-            "tok_per_sec_per_chip": round(args.batch * GEN / dt, 2),
-            "speedup_vs_exact": round(results["exact"] / dt, 2),
-        }))
+    for suffix, quant, mode_list in plans:
+        params = make_params(quant)
+        for name, kw in mode_list:
+            out = run(params, **kw)  # compile+warm
+            assert (out[:, PROMPT_LEN:] == cfg.mask_token_id).mean() < 0.05, name
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                run(params, **kw)
+                ts.append(time.time() - t0)
+            dt = float(np.median(ts))
+            results[name + suffix] = dt
+            base = results.get("exact", dt)
+            print(json.dumps({
+                "mode": name + suffix, "batch": args.batch,
+                "seconds_per_batch": round(dt, 3),
+                "tok_per_sec_per_chip": round(args.batch * GEN / dt, 2),
+                "speedup_vs_exact": round(base / dt, 2),
+            }))
+        del params  # free before the next param set (within-process reuse)
     print(json.dumps({"sanity_ms_after": round(sanity_ms(), 3)}))
 
 

@@ -116,6 +116,20 @@ def main():
         "fused_kloop": {"CTDB_GROUPED_TILE_M": "64",
                         "CTDB_GROUPED_FUSED": "1",
                         "CTDB_GROUPED_COMBINE": "kloop"},
+        # round-3 routing-rank formulation A/B (chunked = MXU triangular-
+        # matmul prefix counts; cumsum = direct [M, E] one-hot scan)
+        "kloop_rank_mm": {"CTDB_GROUPED_TILE_M": "64",
+                          "CTDB_GROUPED_MANUAL": "1",
+                          "CTDB_GROUPED_COMBINE": "kloop",
+                          "CTDB_ROUTING_RANK": "chunked"},
+        "kloop_rank_cumsum": {"CTDB_GROUPED_TILE_M": "64",
+                              "CTDB_GROUPED_MANUAL": "1",
+                              "CTDB_GROUPED_COMBINE": "kloop",
+                              "CTDB_ROUTING_RANK": "cumsum"},
+        "fused_rank_mm": {"CTDB_GROUPED_TILE_M": "64",
+                          "CTDB_GROUPED_FUSED": "1",
+                          "CTDB_GROUPED_COMBINE": "kloop",
+                          "CTDB_ROUTING_RANK": "chunked"},
     }
 
     rows = []
