@@ -212,6 +212,7 @@ def _sft_row(cfg, tcfg, label, *, A=4, B=1, L=2048):
         "params_total_b": round(cfg.param_count() / 1e9, 2),
         "params_active_b": round(cfg.active_param_count() / 1e9, 2),
         "optimizer_state_dtype": tcfg.optimizer_state_dtype,
+        "grad_accum_dtype": tcfg.grad_accum_dtype,
         "seq_len": L, "effective_batch": A * B,
         "seconds_per_step": round(dt, 3),
         "samples_per_second_per_chip": round(A * B / dt, 3),
@@ -252,9 +253,15 @@ def bench_sft_int8_full2b():
     from ct_diffusionmodelbench_tpu.train.trainer import TrainConfig
 
     cfg = get_config("llada-2b")
+    # bf16 accumulation buffer is load-bearing here: with f32 accum the
+    # peak (params 3.3 + accum 6.6 + grads/a 6.6 + moments 3.3 GB) blows
+    # the 16 GB chip — measured RESOURCE_EXHAUSTED; bf16 halves both
+    # gradient trees while the clip still norms in f32
+    # (train/optim.py clip_by_global_norm_f32).
     tcfg = TrainConfig(learning_rate=5e-5, grad_accum=4, batch_size=1,
                        max_length=2048, remat=True,
-                       optimizer_state_dtype="int8")
+                       optimizer_state_dtype="int8",
+                       grad_accum_dtype="bfloat16")
     return _sft_row(cfg, tcfg, "llada-2b FULL 22 layers (1.65B, int8 Adam "
                                "moments - 2x the f32-Adam ceiling)")
 
@@ -272,36 +279,108 @@ def bench_sft_moe():
 
     tcfg = TrainConfig(learning_rate=5e-5, grad_accum=4, batch_size=1,
                        max_length=2048, remat=True,
-                       optimizer_state_dtype="int8")
+                       optimizer_state_dtype="int8",
+                       grad_accum_dtype="bfloat16")
     # Training wants the SCANNED layer path: the stacked-weights custom_vjp
     # scatters a full-stack-sized cotangent per layer call (grouped_gemm.py
     # _pallas_ffn_bwd note), while scan accumulates one stack-shaped grad.
     os.environ["CTDB_MOE_STACKED"] = "0"
     try:
-        return _bench_sft_moe_inner(tcfg)
+        layers = int(os.environ.get("CTDB_BENCH_MOE_LAYERS", "0"))
+        if layers:  # single attempt (we are the subprocess)
+            return _bench_sft_moe_inner(tcfg, layers)
+        return _bench_sft_moe_subprocess()
     finally:
         os.environ.pop("CTDB_MOE_STACKED", None)
 
 
-def _bench_sft_moe_inner(tcfg):
+def _bench_sft_moe_subprocess():
+    """Each layer-count attempt in its OWN process: HBM freed after an OOM
+    inside a process is not reliably reusable by that process (CLAUDE.md) —
+    in-process retries inherit a poisoned heap and fail even when the
+    smaller model fits a clean one."""
+    import os
+    import subprocess
+    import sys
+
+    last = None
+    for layers in (4, 3, 2):
+        env = dict(os.environ, CTDB_BENCH_MOE_LAYERS=str(layers))
+        run = subprocess.run(
+            [sys.executable, __file__, "--only", "sft_train_step_moe"],
+            capture_output=True, text=True, timeout=3600, env=env)
+        for line in reversed(run.stdout.strip().splitlines()):
+            try:
+                row = json.loads(line).get("sft_train_step_moe")
+            except Exception:
+                continue
+            if row and "error" not in row:
+                return row
+            last = row
+            break
+        time.sleep(150)  # axon HBM reclamation lag between attempts
+    raise RuntimeError(f"all MoE layer counts OOMed: {last}")
+
+
+def _bench_sft_moe_inner(tcfg, layers):
     from ct_diffusionmodelbench_tpu.models import get_config
 
-    last_err = None
-    for layers in (4, 3, 2):
-        cfg = get_config("llada-moe-7b").replace(num_layers=layers)
-        try:
-            row = _sft_row(
-                cfg, tcfg,
-                f"llada-moe-7b arch, {layers} layers "
-                f"({cfg.param_count()/1e9:.2f}B total / "
-                f"{cfg.active_param_count()/1e9:.2f}B active, int8 Adam)")
-            return row
-        except Exception as e:  # pool OOM: try a shallower stack
-            last_err = e
-            import gc
-            gc.collect()
-            time.sleep(150)  # axon HBM reclamation lag (CLAUDE.md)
-    raise last_err
+    cfg = get_config("llada-moe-7b").replace(num_layers=layers)
+    return _sft_row(
+        cfg, tcfg,
+        f"llada-moe-7b arch, {layers} layers "
+        f"({cfg.param_count()/1e9:.2f}B total / "
+        f"{cfg.active_param_count()/1e9:.2f}B active, int8 Adam)")
+
+
+def bench_llada8b_int8():
+    """The north star's OWN model on ONE chip: LLaDA-8B bf16 is ~16.3 GB
+    (> one v5e's 16 GB HBM; the reference splits it across 2 GPUs with
+    device_map="auto" — Pre-Trained/bench_models/llada.py:137-141), but
+    weight-only int8 (ops/quant.py) fits it in ~8.2 GB.  Reference config:
+    gen 256, 256 steps, block 32 (BASELINE.json:2 — 105.95 s/sample on
+    GH200)."""
+    from ct_diffusionmodelbench_tpu.models import (
+        get_config, init_params, make_forward_fn)
+    from ct_diffusionmodelbench_tpu.ops.quant import quantized_leaf_transform
+    from ct_diffusionmodelbench_tpu.sampling import llada_generate
+
+    cfg = get_config("llada-8b")
+    params = init_params(cfg, jax.random.key(0),
+                         leaf_transform=quantized_leaf_transform)
+    jax.block_until_ready(params)
+    fwd = make_forward_fn(cfg)
+
+    def run(batch, reps=2):
+        prompt = jnp.full((batch, 64), 17, jnp.int32)
+        return _t(lambda: llada_generate(
+            fwd, params, prompt, steps=256, gen_length=256, block_length=32,
+            mask_id=cfg.mask_token_id, key=jax.random.key(2))[0], reps=reps)
+
+    dt1 = run(1)
+    batch = 4
+    dtb = run(batch)
+    nbytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    del params
+    # Block-sliced lm head: llada_generate computes logits only for the
+    # active 32-token block each step, not all 320 positions.
+    flops_per_sample = 256 * cfg.forward_flops(64 + 256, lm_head_width=32)
+    return {
+        "model": "llada-8b (full size, int8 weight-only, ONE chip)",
+        "params_total_b": round(cfg.param_count() / 1e9, 2),
+        "weights_gb": round(nbytes / 1e9, 2),
+        "config": "gen 256, 256 steps, block 32 (north-star reference config)",
+        "single_sample_sec": round(dt1, 3),
+        "batched_sec_per_sample": round(dtb / batch, 3),
+        "batch": batch,
+        "tok_per_sec_per_chip": round(256 * batch / dtb, 1),
+        "mfu": round(batch * flops_per_sample / dtb / 197e12, 4),
+        "vs_llada8b_baseline_105.95s": round(105.95 / (dtb / batch), 1),
+        "note": "random-init weights (zero egress); int8 is opt-in "
+                "(--quant int8) and approximate — bf16 under TP>=2 is the "
+                "exact path (tests/test_full_size_lowering.py)",
+    }
 
 
 def main():
@@ -329,7 +408,8 @@ def main():
                      ("dream_reference_config", bench_dream),
                      ("sft_train_step", bench_sft),
                      ("sft_train_step_int8_adam", bench_sft_int8_full2b),
-                     ("sft_train_step_moe", bench_sft_moe)):
+                     ("sft_train_step_moe", bench_sft_moe),
+                     ("llada_8b_int8_single_chip", bench_llada8b_int8)):
         if only is not None and name not in only:
             continue
         try:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import time
 from dataclasses import dataclass, field, asdict
+from functools import partial
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -63,6 +64,12 @@ class TrainConfig:
     # with the freshly computed grads — bf16 halves both and is what lets
     # the FULL llada-2b (1.65B) train on one 16 GB chip with int8 moments.
     grad_accum_dtype: str = "float32"
+    # Donate params + optimizer state to the jitted step so XLA updates them
+    # in place (no 2x-state double buffering — the margin that decides
+    # whether a 1.65B model trains on a 16 GB chip).  The caller's input
+    # trees are DELETED by each step call; turn off only to reuse an input
+    # tree across runs (e.g. A/B tests from one init).
+    donate_state: bool = True
     max_grad_norm: float = 1.0
     max_length: int = 2048
     eval_steps: int = 1000
@@ -174,7 +181,14 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
             f"unknown grad_accum_dtype {train_cfg.grad_accum_dtype!r}")
     acc_dt = jnp.dtype(train_cfg.grad_accum_dtype)
 
-    @jax.jit
+    # Donating params + opt_state lets XLA update the state in place:
+    # without it the program holds input AND output copies of both trees
+    # (2x params + 2x moments — 6.6 GB extra at 1.65B), which is exactly
+    # the margin that OOMed the full-2B int8-Adam row on a 16 GB chip.
+    # Every caller rebinds (params, opt_state) from the return value.
+    donate = (0, 1) if train_cfg.donate_state else ()
+
+    @partial(jax.jit, donate_argnums=donate)
     def step(params, opt_state, input_ids, prompt_lengths, key):
         a = input_ids.shape[0]
         keys = jax.random.split(key, a)

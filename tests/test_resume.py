@@ -35,12 +35,19 @@ def test_resume_matches_continuous(tmp_path):
     params0 = init_params(cfg, jax.random.key(0))
     ds = _dataset(cfg, 8)
 
+    # The jitted step donates its state (TrainConfig.donate_state): each
+    # Trainer consumes its input tree, so the shared init is copied per run.
+    import jax.numpy as jnp
+
+    def fresh():
+        return jax.tree.map(jnp.copy, params0)
+
     # Continuous run: 2 epochs.
-    t_cont = Trainer(cfg, params0, _tc(str(tmp_path / "cont"), 2), ds)
+    t_cont = Trainer(cfg, fresh(), _tc(str(tmp_path / "cont"), 2), ds)
     t_cont.train()
 
     # Interrupted run: 1 epoch, save, new Trainer resumes for epoch 2.
-    t_a = Trainer(cfg, params0, _tc(str(tmp_path / "a"), 1), ds)
+    t_a = Trainer(cfg, fresh(), _tc(str(tmp_path / "a"), 1), ds)
     t_a.train()
 
     cfg_r, params_r = load_checkpoint(tmp_path / "a", dtype="float32")

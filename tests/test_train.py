@@ -526,7 +526,10 @@ def test_remat_policies_match_no_remat():
         tc = TrainConfig(learning_rate=1e-3, grad_accum=2, batch_size=1,
                          max_length=32, remat=remat)
         step, _ = make_train_step(cfg, tc, opt)
-        p, _, m = step(params, opt.init(params), ids, plens, key)
+        # step() donates its state args (TrainConfig.donate_state) — copy the
+        # shared init so every remat variant starts from the same tree.
+        params_i = jax.tree.map(jnp.copy, params)
+        p, _, m = step(params_i, opt.init(params_i), ids, plens, key)
         results[str(remat)] = (np.asarray(m["loss"]),
                                np.asarray(p["embed"]))
     for name in ("True", "dots"):
