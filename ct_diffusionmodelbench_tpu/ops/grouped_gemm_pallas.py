@@ -396,7 +396,7 @@ def grouped_expert_ffn_pallas(
 
     # Sort-free layout: counting_layout maps every routing slot straight to
     # its padded row (argsort was the dominant per-layer cost at M=20480).
-    dest, tile_expert, _, m_pad = counting_layout(topk_idx, e, tile_m)
+    dest, tile_expert, sizes, m_pad = counting_layout(topk_idx, e, tile_m)
 
     # All row movement is GATHERS — TPU scatters of wide rows are orders of
     # magnitude slower (measured ~25 ms vs ~1 ms at [16k, 2048] bf16 on
@@ -417,6 +417,23 @@ def grouped_expert_ffn_pallas(
     # kept as a tested alternative for shapes where h-round-trip dominates.
     fm = wg_arr.shape[-1]
     aligned = d % 128 == 0 and fm % 128 == 0
+    # Pad-skip (OFF by default — measured a net LOSS): the static m_pad
+    # reserves a worst-case e*tile_m of padding (~8% all-padding tiles at
+    # the bench shape); CTDB_GROUPED_SKIP_PAD=1 marks tiles holding no real
+    # row so the manual kernels zero-fill them instead of running the expert
+    # matmul (_run_schedule sentinel).  On-chip A/B at the batch-8 bench
+    # shape (tools/xprof_sweep_r3.py, CTDB_SWEEP_ROUTING=1): down kernel
+    # 0.746 -> 0.706 ms but gate/up 1.115 -> 1.400 — once the output write
+    # becomes conditional Mosaic loses its unconditional-writer pipelining
+    # and the whole layer nets 2.52 -> 2.81 ms.  Kept (oracle-tested) as the
+    # measured record of why tile skipping does not pay on this hardware.
+    tile_valid = None
+    if os.environ.get("CTDB_GROUPED_SKIP_PAD", "0") == "1":
+        padded_sizes = _round_up_arr(sizes, tile_m)
+        pend_real = jnp.cumsum(padded_sizes) - padded_sizes + sizes  # [E]
+        tile_start = jnp.arange(m_pad // tile_m, dtype=jnp.int32) * tile_m
+        tile_valid = (tile_start
+                      < jnp.take(pend_real, tile_expert)).astype(jnp.int32)
     if quantized:
         # int8 serving path: the manual-DMA pair kernels with in-kernel
         # dequant (run-start cast + accumulator-epilogue scale).  Quantized
@@ -426,9 +443,11 @@ def grouped_expert_ffn_pallas(
             raise ValueError(
                 f"int8 grouped FFN needs D, F % 128 == 0, got {d}, {fm}")
         h = grouped_gateup_manual_q(xs_padded, we_gate, we_up, tile_expert,
-                                    tile_m, layer_index=layer_index)
+                                    tile_m, layer_index=layer_index,
+                                    tile_valid=tile_valid)
         out_padded = grouped_matmul_manual_q(h, we_down, tile_expert, tile_m,
-                                             layer_index=layer_index)
+                                             layer_index=layer_index,
+                                             tile_valid=tile_valid)
         return _combine(out_padded, dest, topk_probs, n, k, d, x.dtype)
     fused = os.environ.get("CTDB_GROUPED_FUSED", "0") == "1" and aligned
     # CTDB_GROUPED_MANUAL: "1" = manual-DMA pair (gate/up + down both with
@@ -444,18 +463,20 @@ def grouped_expert_ffn_pallas(
     if fused:
         out_padded = grouped_ffn_fused_padded(
             xs_padded, we_gate, we_up, we_down, tile_expert, tile_m,
-            layer_index=layer_index)
+            layer_index=layer_index, tile_valid=tile_valid)
     else:
         if manual in ("1", "gateup"):
             h = grouped_gateup_manual(xs_padded, we_gate, we_up, tile_expert,
-                                      tile_m, layer_index=layer_index)
+                                      tile_m, layer_index=layer_index,
+                                      tile_valid=tile_valid)
         else:
             h = grouped_gateup_padded(xs_padded, we_gate, we_up, tile_expert,
                                       tile_m, layer_index=layer_index)
         if manual == "1":
             out_padded = grouped_matmul_manual(h, we_down, tile_expert,
                                                tile_m,
-                                               layer_index=layer_index)
+                                               layer_index=layer_index,
+                                               tile_valid=tile_valid)
         else:
             out_padded = grouped_matmul_padded(h, we_down, tile_expert,
                                                tile_m,
@@ -576,14 +597,28 @@ def _fused_ffn_kernel(*refs, stacked: bool):
     for s in range(NSLOTS):
         pl.when(slot == s)(compute(s))
 
+    @pl.when(slot == NSLOTS)  # pad-skip sentinel (_run_schedule): no dots
+    def _():
+        o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
 
-def _run_schedule(tile_expert: jnp.ndarray, e: int):
+
+def _run_schedule(tile_expert: jnp.ndarray, e: int,
+                  tile_valid: Optional[jnp.ndarray] = None):
     """Per-tile (start, slot, next, next-next expert) for the manual
     NSLOTS-deep weight pipeline.
 
     ``tile_expert`` is non-decreasing (counting layout), so the next run's
     expert is the suffix-min of the change-point values, and the run after
-    that is ``nxt`` evaluated at the first tile of the next run."""
+    that is ``nxt`` evaluated at the first tile of the next run.
+
+    ``tile_valid`` (pad-skip): tiles with no real rows get the out-of-range
+    sentinel slot NSLOTS — the kernels' per-slot ``pl.when`` dispatch then
+    zero-fills the output block instead of running the expert matmul.  The
+    static m_pad reserves a full worst-case ``e * tile_m`` of padding
+    (counting_layout), so ~8% of the grid is all-padding at the bench shape.
+    Run-START tiles keep their slot even when invalid: a trailing phantom
+    run must still WAIT its prefetched weight DMA to keep the semaphores
+    balanced."""
     t = tile_expert.astype(jnp.int32)
     n = t.shape[0]
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), t[:-1]])
@@ -606,6 +641,9 @@ def _run_schedule(tile_expert: jnp.ndarray, e: int):
     nxt2 = jnp.where(pos < n - 1,
                      jnp.take(nxt, jnp.minimum(pos + 1, n - 1)),
                      jnp.int32(-1))
+    if tile_valid is not None:
+        slot = jnp.where((start == 1) | (tile_valid == 1), slot,
+                         jnp.int32(NSLOTS))
     return start, slot, nxt, nxt2
 
 
@@ -617,6 +655,7 @@ def grouped_ffn_fused_padded(
     tile_expert: jnp.ndarray,  # [M_pad / tile_m] int32, non-decreasing
     tile_m: int = TILE_M,
     layer_index: Optional[jnp.ndarray] = None,
+    tile_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """silu(x@wg[e]) * (x@wu[e]) @ wd[e] in ONE pallas_call on the padded
     grouped layout.  Requires lane-aligned dims (D % 128 == 0,
@@ -627,7 +666,7 @@ def grouped_ffn_fused_padded(
     if d % 128 or f % 128:
         raise ValueError(f"fused FFN needs D, F % 128 == 0, got {d}, {f}")
 
-    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e)
+    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e, tile_valid)
 
     wdt = we_gate.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -743,6 +782,10 @@ def _gateup_manual_kernel(*refs, stacked: bool):
     for s in range(NSLOTS):
         pl.when(slot == s)(compute(s))
 
+    @pl.when(slot == NSLOTS)  # pad-skip sentinel (_run_schedule): no dot
+    def _():
+        h_ref[...] = jnp.zeros(h_ref.shape, h_ref.dtype)
+
 
 def _matmul_manual_kernel(*refs, stacked: bool):
     if stacked:
@@ -790,6 +833,10 @@ def _matmul_manual_kernel(*refs, stacked: bool):
     for s in range(NSLOTS):
         pl.when(slot == s)(compute(s))
 
+    @pl.when(slot == NSLOTS)  # pad-skip sentinel (_run_schedule): no dot
+    def _():
+        o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
 
 def grouped_gateup_manual(
     x_padded: jnp.ndarray,     # [M_pad, D]
@@ -798,6 +845,7 @@ def grouped_gateup_manual(
     tile_expert: jnp.ndarray,  # [M_pad / tile_m] int32, non-decreasing
     tile_m: int = TILE_M,
     layer_index: Optional[jnp.ndarray] = None,
+    tile_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """silu(x@wg[e]) * (x@wu[e]) with manual NSLOTS weight pipelining.
     Requires lane-aligned D and F (every full-size preset qualifies)."""
@@ -807,7 +855,7 @@ def grouped_gateup_manual(
     if d % 128 or f % 128:
         raise ValueError(f"manual gate/up needs D, F % 128 == 0, got {d}, {f}")
 
-    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e)
+    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e, tile_valid)
     wdt = we_gate.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if stacked else 5,
@@ -858,6 +906,7 @@ def grouped_matmul_manual(
     tile_expert: jnp.ndarray,
     tile_m: int = TILE_M,
     layer_index: Optional[jnp.ndarray] = None,
+    tile_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     m_pad, f = x_padded.shape
     e, _, d = w.shape[-3:]
@@ -865,7 +914,7 @@ def grouped_matmul_manual(
     if d % 128 or f % 128:
         raise ValueError(f"manual matmul needs dims % 128 == 0, got {f}, {d}")
 
-    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e)
+    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e, tile_valid)
     wdt = w.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if stacked else 5,
@@ -974,23 +1023,29 @@ def _gateup_manual_q_kernel(*refs, stacked: bool):
         for s in range(NSLOTS):
             pl.when(slot == s)(dequant(s))
 
-    x = x_ref[...]
-    gate = jax.lax.dot_general(
-        x, wg_bf[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    up = jax.lax.dot_general(
-        x, wu_bf[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    @pl.when(slot != NSLOTS)
+    def _():
+        x = x_ref[...]
+        gate = jax.lax.dot_general(
+            x, wg_bf[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        up = jax.lax.dot_general(
+            x, wu_bf[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    def epilogue(s: int):
-        def _():
-            g = gate * sg_buf[s][None, :]
-            u = up * su_buf[s][None, :]
-            h_ref[...] = (jax.nn.silu(g) * u).astype(h_ref.dtype)
-        return _
+        def epilogue(s: int):
+            def _():
+                g = gate * sg_buf[s][None, :]
+                u = up * su_buf[s][None, :]
+                h_ref[...] = (jax.nn.silu(g) * u).astype(h_ref.dtype)
+            return _
 
-    for s in range(NSLOTS):
-        pl.when(slot == s)(epilogue(s))
+        for s in range(NSLOTS):
+            pl.when(slot == s)(epilogue(s))
+
+    @pl.when(slot == NSLOTS)  # pad-skip sentinel (_run_schedule): no dot
+    def _():
+        h_ref[...] = jnp.zeros(h_ref.shape, h_ref.dtype)
 
 
 def _matmul_manual_q_kernel(*refs, stacked: bool):
@@ -1043,17 +1098,23 @@ def _matmul_manual_q_kernel(*refs, stacked: bool):
         for s in range(NSLOTS):
             pl.when(slot == s)(dequant(s))
 
-    acc = jax.lax.dot_general(
-        x_ref[...], w_bf[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    @pl.when(slot != NSLOTS)
+    def _():
+        acc = jax.lax.dot_general(
+            x_ref[...], w_bf[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    def epilogue(s: int):
-        def _():
-            o_ref[...] = (acc * s_buf[s][None, :]).astype(o_ref.dtype)
-        return _
+        def epilogue(s: int):
+            def _():
+                o_ref[...] = (acc * s_buf[s][None, :]).astype(o_ref.dtype)
+            return _
 
-    for s in range(NSLOTS):
-        pl.when(slot == s)(epilogue(s))
+        for s in range(NSLOTS):
+            pl.when(slot == s)(epilogue(s))
+
+    @pl.when(slot == NSLOTS)  # pad-skip sentinel (_run_schedule): no dot
+    def _():
+        o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
 
 
 def grouped_gateup_manual_q(
@@ -1063,6 +1124,7 @@ def grouped_gateup_manual_q(
     tile_expert: jnp.ndarray,
     tile_m: int = TILE_M,
     layer_index: Optional[jnp.ndarray] = None,
+    tile_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     m_pad, d = x_padded.shape
     qg, sg = we_gate["q"], we_gate["s"].astype(jnp.float32)
@@ -1072,7 +1134,7 @@ def grouped_gateup_manual_q(
     if d % 128 or f % 128:
         raise ValueError(f"manual gate/up needs D, F % 128 == 0, got {d}, {f}")
 
-    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e)
+    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e, tile_valid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if stacked else 5,
         grid=(m_pad // tile_m,),
@@ -1124,6 +1186,7 @@ def grouped_matmul_manual_q(
     tile_expert: jnp.ndarray,
     tile_m: int = TILE_M,
     layer_index: Optional[jnp.ndarray] = None,
+    tile_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     m_pad, f = x_padded.shape
     qw, sw = w["q"], w["s"].astype(jnp.float32)
@@ -1132,7 +1195,7 @@ def grouped_matmul_manual_q(
     if d % 128 or f % 128:
         raise ValueError(f"manual matmul needs dims % 128 == 0, got {f}, {d}")
 
-    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e)
+    start, slot, nxt, nxt2 = _run_schedule(tile_expert, e, tile_valid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if stacked else 5,
         grid=(m_pad // tile_m,),

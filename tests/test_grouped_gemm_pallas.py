@@ -291,3 +291,24 @@ def test_expert_rank_chunked_matches_cumsum():
                                       np.asarray(want_rank))
         np.testing.assert_array_equal(np.asarray(got_sizes),
                                       np.asarray(want_sizes))
+
+
+def test_pad_skip_mode_matches_dense_oracle(monkeypatch):
+    """CTDB_GROUPED_SKIP_PAD=1 (all-padding tiles zero-filled via the
+    _run_schedule sentinel slot) must be output-identical to the default:
+    skipped rows are never gathered by the combine.  Off by default — the
+    on-chip A/B showed conditional output writes cost more than the skipped
+    MXU work (see grouped_expert_ffn_pallas) — but the mechanism stays
+    oracle-tested.  Includes a zero-row expert and a skewed routing."""
+    monkeypatch.setenv("CTDB_GROUPED_SKIP_PAD", "1")
+    x, tp, ti, wg, wu, wd = _setup()
+    dense = _experts_dense(x, tp, ti, wg, wu, wd)
+    got = grouped_expert_ffn_pallas(x, tp, ti, wg, wu, wd, tile_m=8)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(got),
+                               rtol=1e-4, atol=1e-5)
+
+    ti2 = jnp.zeros_like(ti).at[:, 1].set(3)  # experts {0, 3}; 1/2/4/5 empty
+    dense2 = _experts_dense(x, tp, ti2, wg, wu, wd)
+    got2 = grouped_expert_ffn_pallas(x, tp, ti2, wg, wu, wd, tile_m=8)
+    np.testing.assert_allclose(np.asarray(dense2), np.asarray(got2),
+                               rtol=1e-4, atol=1e-5)

@@ -47,11 +47,19 @@ def profile_layer_ms(n, env):
         wu = jax.random.normal(ks[4], (E, D, FM), jnp.bfloat16) * 0.02
         wd = jax.random.normal(ks[5], (E, FM, D), jnp.bfloat16) * 0.02
 
+        include_routing = os.environ.get("CTDB_SWEEP_ROUTING", "0") == "1"
+
         @jax.jit
         def run(x, probs, idx, wg, wu, wd):
             def it(i, acc):
                 xi = x + (acc * 0).astype(x.dtype)
-                o = grouped_expert_ffn_pallas(xi, probs, idx, wg, wu, wd)
+                # Routing depends only on idx: with a loop-invariant idx XLA
+                # hoists counting_layout/expert_rank OUT of the loop and the
+                # sweep never sees layout cost.  CTDB_SWEEP_ROUTING=1 rolls
+                # idx by the (traced) iteration counter so the layout is
+                # recomputed per iteration, as in the real per-layer call.
+                idxi = jax.lax.rem(idx + i, E) if include_routing else idx
+                o = grouped_expert_ffn_pallas(xi, probs, idxi, wg, wu, wd)
                 return acc + o.astype(jnp.float32) * 1e-6
             return jax.lax.fori_loop(0, REPS, it,
                                      jnp.zeros((n, D), jnp.float32)).sum()
