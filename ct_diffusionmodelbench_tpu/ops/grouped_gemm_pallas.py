@@ -393,6 +393,13 @@ def grouped_expert_ffn_pallas(
     env_tm = os.environ.get("CTDB_GROUPED_TILE_M")
     if env_tm:
         tile_m = int(env_tm)
+    elif tile_m == TILE_M and m >= 65536:
+        # Large-M row tiles: at batch 32 (M=81920) tile 128 measures 10.91
+        # vs tile 64's 11.24 ms/layer on-chip (fewer expert-run boundaries
+        # per row; the extra e*64 worst-case pad rows amortize), while at
+        # batch 8 (M=20480) tile 64 wins 2.52 vs 2.86
+        # (tools/xprof_sweep_r3.py, CTDB_SWEEP_ROUTING=1).
+        tile_m = 128
 
     # Sort-free layout: counting_layout maps every routing slot straight to
     # its padded row (argsort was the dominant per-layer cost at M=20480).
