@@ -973,14 +973,19 @@ def grouped_matmul_manual(
 
 
 def _gateup_manual_q_kernel(*refs, stacked: bool):
+    # Scales arrive as auto-pipelined [1, 1, F] VMEM blocks indexed by the
+    # scalar-prefetched tile_expert (sg_ref/su_ref) — NOT via manual DMA:
+    # Mosaic cannot memref_slice one row of a (8, 128)-tiled f32 tensor
+    # ("Slice shape along dimension 1 must be aligned to tiling"), a
+    # TPU-compile-only failure that interpret mode never sees.
     if stacked:
         (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref, li_ref,
-         x_ref, wgq_hbm, wuq_hbm, sg_hbm, su_hbm, h_ref,
-         wgq_buf, wuq_buf, sg_buf, su_buf, wg_bf, wu_bf, sems) = refs
+         x_ref, wgq_hbm, wuq_hbm, sg_ref, su_ref, h_ref,
+         wgq_buf, wuq_buf, wg_bf, wu_bf, sems) = refs
     else:
         (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref,
-         x_ref, wgq_hbm, wuq_hbm, sg_hbm, su_hbm, h_ref,
-         wgq_buf, wuq_buf, sg_buf, su_buf, wg_bf, wu_bf, sems) = refs
+         x_ref, wgq_hbm, wuq_hbm, sg_ref, su_ref, h_ref,
+         wgq_buf, wuq_buf, wg_bf, wu_bf, sems) = refs
         li_ref = None
 
     i = pl.program_id(0)
@@ -992,8 +997,6 @@ def _gateup_manual_q_kernel(*refs, stacked: bool):
         return (
             pltpu.make_async_copy(src(wgq_hbm), wgq_buf.at[s], sems.at[s, 0]),
             pltpu.make_async_copy(src(wuq_hbm), wuq_buf.at[s], sems.at[s, 1]),
-            pltpu.make_async_copy(src(sg_hbm), sg_buf.at[s], sems.at[s, 2]),
-            pltpu.make_async_copy(src(su_hbm), su_buf.at[s], sems.at[s, 3]),
         )
 
     @pl.when(i == 0)
@@ -1039,16 +1042,9 @@ def _gateup_manual_q_kernel(*refs, stacked: bool):
         up = jax.lax.dot_general(
             x, wu_bf[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-
-        def epilogue(s: int):
-            def _():
-                g = gate * sg_buf[s][None, :]
-                u = up * su_buf[s][None, :]
-                h_ref[...] = (jax.nn.silu(g) * u).astype(h_ref.dtype)
-            return _
-
-        for s in range(NSLOTS):
-            pl.when(slot == s)(epilogue(s))
+        g = gate * sg_ref[0, 0][None, :]
+        u = up * su_ref[0, 0][None, :]
+        h_ref[...] = (jax.nn.silu(g) * u).astype(h_ref.dtype)
 
     @pl.when(slot == NSLOTS)  # pad-skip sentinel (_run_schedule): no dot
     def _():
@@ -1056,46 +1052,40 @@ def _gateup_manual_q_kernel(*refs, stacked: bool):
 
 
 def _matmul_manual_q_kernel(*refs, stacked: bool):
+    # Scale: auto-pipelined [1, 1, D] VMEM block (see _gateup_manual_q_kernel
+    # on why scales must not ride the manual DMA path).
     if stacked:
         (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref, li_ref,
-         x_ref, wq_hbm, s_hbm, o_ref, wq_buf, s_buf, w_bf, sems) = refs
+         x_ref, wq_hbm, s_ref, o_ref, wq_buf, w_bf, sems) = refs
     else:
         (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref,
-         x_ref, wq_hbm, s_hbm, o_ref, wq_buf, s_buf, w_bf, sems) = refs
+         x_ref, wq_hbm, s_ref, o_ref, wq_buf, w_bf, sems) = refs
         li_ref = None
 
     i = pl.program_id(0)
     slot = slot_ref[i]
 
-    def copies(e, s):
-        def src(hbm):
-            return hbm.at[li_ref[0], e] if stacked else hbm.at[e]
-        return (
-            pltpu.make_async_copy(src(wq_hbm), wq_buf.at[s], sems.at[s, 0]),
-            pltpu.make_async_copy(src(s_hbm), s_buf.at[s], sems.at[s, 1]),
-        )
+    def copy(e, s):
+        src = wq_hbm.at[li_ref[0], e] if stacked else wq_hbm.at[e]
+        return pltpu.make_async_copy(src, wq_buf.at[s], sems.at[s])
 
     @pl.when(i == 0)
     def _():
-        for c in copies(te_ref[0], slot):
-            c.start()
+        copy(te_ref[0], slot).start()
         nxt = nxt_ref[0]
 
         @pl.when(nxt >= 0)
         def _():
-            for c in copies(nxt, (slot + 1) % NSLOTS):
-                c.start()
+            copy(nxt, (slot + 1) % NSLOTS).start()
 
     @pl.when(start_ref[i] == 1)
     def _():
-        for c in copies(te_ref[i], slot):
-            c.wait()
+        copy(te_ref[i], slot).wait()
         nxt2 = nxt2_ref[i]
 
         @pl.when(nxt2 >= 0)
         def _():
-            for c in copies(nxt2, jax.lax.rem(slot + 2, NSLOTS)):
-                c.start()
+            copy(nxt2, jax.lax.rem(slot + 2, NSLOTS)).start()
 
         def dequant(s: int):
             def _():
@@ -1110,14 +1100,7 @@ def _matmul_manual_q_kernel(*refs, stacked: bool):
         acc = jax.lax.dot_general(
             x_ref[...], w_bf[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-
-        def epilogue(s: int):
-            def _():
-                o_ref[...] = (acc * s_buf[s][None, :]).astype(o_ref.dtype)
-            return _
-
-        for s in range(NSLOTS):
-            pl.when(slot == s)(epilogue(s))
+        o_ref[...] = (acc * s_ref[0, 0][None, :]).astype(o_ref.dtype)
 
     @pl.when(slot == NSLOTS)  # pad-skip sentinel (_run_schedule): no dot
     def _():
@@ -1142,6 +1125,15 @@ def grouped_gateup_manual_q(
         raise ValueError(f"manual gate/up needs D, F % 128 == 0, got {d}, {f}")
 
     start, slot, nxt, nxt2 = _run_schedule(tile_expert, e, tile_valid)
+    # Scales ride the AUTO pipeline as [1, 1, F] blocks of a [(L*)E, 1, F]
+    # view, indexed by the prefetched tile_expert — one uniform 3-D path for
+    # stacked and flat (see _gateup_manual_q_kernel).
+    sg3 = sg.reshape(-1, 1, f)
+    su3 = su.reshape(-1, 1, f)
+    if stacked:
+        scale_ix = lambda i, te, n1, n2, st, sl, li: (li[0] * e + te[i], 0, 0)
+    else:
+        scale_ix = lambda i, te, n1, n2, st, sl: (te[i], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if stacked else 5,
         grid=(m_pad // tile_m,),
@@ -1150,25 +1142,23 @@ def grouped_gateup_manual_q(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, f), scale_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f), scale_ix, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_m, f), lambda i, *s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NSLOTS, d, f), jnp.int8),
             pltpu.VMEM((NSLOTS, d, f), jnp.int8),
-            pltpu.VMEM((NSLOTS, f), jnp.float32),
-            pltpu.VMEM((NSLOTS, f), jnp.float32),
             pltpu.VMEM((d, f), x_padded.dtype),
             pltpu.VMEM((d, f), x_padded.dtype),
-            pltpu.SemaphoreType.DMA((NSLOTS, 4)),
+            pltpu.SemaphoreType.DMA((NSLOTS, 2)),
         ],
     )
     scalars = [tile_expert, nxt, nxt2, start, slot]
     if stacked:
         scalars.append(jnp.asarray(layer_index, jnp.int32).reshape(1))
-    scratch_bytes = (2 * NSLOTS + 4) * d * f + 2 * NSLOTS * f * 4
+    scratch_bytes = (2 * NSLOTS + 4) * d * f
     blocks_bytes = 2 * tile_m * (d + f) * x_padded.dtype.itemsize
     return pl.pallas_call(
         functools.partial(_gateup_manual_q_kernel, stacked=stacked),
@@ -1184,7 +1174,7 @@ def grouped_gateup_manual_q(
             transcendentals=m_pad * f,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(*scalars, x_padded, qg, qu, sg, su)
+    )(*scalars, x_padded, qg, qu, sg3, su3)
 
 
 def grouped_matmul_manual_q(
@@ -1203,6 +1193,11 @@ def grouped_matmul_manual_q(
         raise ValueError(f"manual matmul needs dims % 128 == 0, got {f}, {d}")
 
     start, slot, nxt, nxt2 = _run_schedule(tile_expert, e, tile_valid)
+    sw3 = sw.reshape(-1, 1, d)  # [(L*)E, 1, D] — see gate/up wrapper
+    if stacked:
+        scale_ix = lambda i, te, n1, n2, st, sl, li: (li[0] * e + te[i], 0, 0)
+    else:
+        scale_ix = lambda i, te, n1, n2, st, sl: (te[i], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if stacked else 5,
         grid=(m_pad // tile_m,),
@@ -1210,21 +1205,20 @@ def grouped_matmul_manual_q(
             pl.BlockSpec((tile_m, f), lambda i, *s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, d), scale_ix, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_m, d), lambda i, *s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NSLOTS, f, d), jnp.int8),
-            pltpu.VMEM((NSLOTS, d), jnp.float32),
             pltpu.VMEM((f, d), x_padded.dtype),
-            pltpu.SemaphoreType.DMA((NSLOTS, 2)),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
         ],
     )
     scalars = [tile_expert, nxt, nxt2, start, slot]
     if stacked:
         scalars.append(jnp.asarray(layer_index, jnp.int32).reshape(1))
-    scratch_bytes = (NSLOTS + 2) * f * d + NSLOTS * d * 4
+    scratch_bytes = (NSLOTS + 2) * f * d
     blocks_bytes = 2 * tile_m * (d + f) * x_padded.dtype.itemsize
     return pl.pallas_call(
         functools.partial(_matmul_manual_q_kernel, stacked=stacked),
@@ -1239,7 +1233,7 @@ def grouped_matmul_manual_q(
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(*scalars, x_padded, qw, sw)
+    )(*scalars, x_padded, qw, sw3)
 
 
 def ragged_matmul(xs_sorted, w, group_sizes, tile_m: int = TILE_M):
