@@ -182,3 +182,23 @@ def test_parallel_threshold_runner_flag():
     res = runner.generate("theorem", gen_length=16, steps=4, block_length=8)
     assert len(res.continuation_ids) == 16
     assert not (res.continuation_ids == runner.mask_id).any()
+
+
+def test_runner_quant_composes_with_block_cache():
+    """--quant int8 + --accel block-cache together: the cached forward's
+    qdot path accepts quantized leaves (models/block_cache.py), so the two
+    opt-in serving modes compose on one chip."""
+    from ct_diffusionmodelbench_tpu.eval.runner import ModelRunner
+
+    runner = ModelRunner.random_init("llada-tiny", accel="block-cache",
+                                     quant="int8")
+    from ct_diffusionmodelbench_tpu.ops.quant import is_quantized
+    assert is_quantized(runner.params["blocks"]["wq"])
+    res = runner.generate("hello world", gen_length=16, steps=4,
+                          block_length=8)
+    assert len(res.continuation_ids) == 16
+
+    # quant + mesh is the documented exclusion (TP bf16 is the exact path)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        ModelRunner.random_init("llada-tiny", quant="int8", tp=2)
