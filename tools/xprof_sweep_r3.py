@@ -46,6 +46,11 @@ def profile_layer_ms(n, env):
         wg = jax.random.normal(ks[3], (E, D, FM), jnp.bfloat16) * 0.02
         wu = jax.random.normal(ks[4], (E, D, FM), jnp.bfloat16) * 0.02
         wd = jax.random.normal(ks[5], (E, FM, D), jnp.bfloat16) * 0.02
+        if os.environ.get("CTDB_SWEEP_INT8", "0") == "1":
+            # int8 weight-only serving path: halves the expert weight stream
+            # through the manual-DMA _q kernels (ops/quant.py).
+            from ct_diffusionmodelbench_tpu.ops.quant import quantize_tensor
+            wg, wu, wd = (quantize_tensor(w) for w in (wg, wu, wd))
 
         include_routing = os.environ.get("CTDB_SWEEP_ROUTING", "0") == "1"
 
