@@ -195,6 +195,10 @@ def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
                      "error": f"{type(e).__name__}: {str(e)[:120]}"})
     del params
     ok = [r for r in rows if "error" not in r]
+    if not ok:
+        # Every batch OOMed/errored: surface a model-level failure so the
+        # caller's fallback logic runs instead of an opaque max() crash.
+        raise RuntimeError(f"all batch measurements failed: {rows}")
     best = max(ok, key=lambda r: r["tok_per_sec_per_chip"])
     head = {
         "model": cfg.name,

@@ -159,7 +159,11 @@ def main(argv=None):
         max_length=args.max_length,
         seed=args.seed,
         variable_length=not args.no_variable_length,
-        remat=(args.remat_policy if args.remat and args.remat_policy != "full" else args.remat),
+        # --remat-policy dots implies remat even without --remat: asking for
+        # a policy and silently getting NO rematerialization would double
+        # activation memory ('full' is the default policy label, so it alone
+        # does not switch remat on).
+        remat=("dots" if args.remat_policy == "dots" else args.remat),
         dp=args.dp,
         tp=args.tp,
         sp=args.sp,

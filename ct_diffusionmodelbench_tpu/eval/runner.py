@@ -235,6 +235,15 @@ class ModelRunner:
                                     else self.parallel_threshold),
                 attn_mask=attn_mask, key=key)
         else:
+            if (parallel_threshold is not None
+                    or self.parallel_threshold is not None):
+                # Mirror --accel: silently running Dream's fixed schedule
+                # while the user asked for threshold decoding would label a
+                # wrong measurement.
+                raise NotImplementedError(
+                    "--parallel-threshold is a LLaDA-family decode "
+                    "(confidence-threshold parallel unmasking); the Dream/"
+                    "DiffuCoder sampler has no equivalent")
             out, _ = dream_generate(
                 self.forward_fn, self.params, prompt,
                 steps=steps, max_new_tokens=gen_length,

@@ -88,7 +88,10 @@ class LLaDASamplerConfig:
             raise ValueError("gen_length must be divisible by block_length "
                              "(reference asserts this, chat_finetuned.py:58)")
         num_blocks = self.gen_length // self.block_length
-        if self.steps % num_blocks != 0:
+        if self.steps % num_blocks != 0 and self.parallel_threshold is None:
+            # Threshold parallel decoding ignores `steps` (dynamic
+            # while_loop per block) — only the fixed schedule needs the
+            # divisibility the reference asserts.
             raise ValueError("steps must be divisible by num_blocks "
                              "(reference asserts this, chat_finetuned.py:60)")
         if self.remasking not in ("low_confidence", "random"):
@@ -141,6 +144,11 @@ def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask,
     sliced = supports_slice if supports_slice is not None \
         else _supports_logit_slice(forward_fn)
 
+    def _avoid_eos(logits):
+        if sc.avoid_eos and sc.eos_token_id is not None:
+            logits = logits.at[..., sc.eos_token_id].set(NEG_INF)
+        return logits
+
     def block_logits(x, block_start):
         """[B, bl, V] logits for the active block (CFG + avoid-EOS applied)."""
         kw = dict(logit_start=block_start, logit_length=bl) if sliced else {}
@@ -157,9 +165,7 @@ def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask,
             logits, _ = forward_fn(x, attn_mask, **kw)
         if not sliced:
             logits = jax.lax.dynamic_slice_in_dim(logits, block_start, bl, axis=1)
-        if sc.avoid_eos and sc.eos_token_id is not None:
-            logits = logits.at[..., sc.eos_token_id].set(NEG_INF)
-        return logits
+        return _avoid_eos(logits)
 
     def compute_counts(x, block_start):
         block_ids = jax.lax.dynamic_slice_in_dim(x, block_start, bl, axis=1)
@@ -190,11 +196,6 @@ def _denoise_loop(forward_fn, sc: LLaDASamplerConfig, x, prompt_len, attn_mask,
         logits = block_logits(x, block_start)
         x = apply_transfer(x, x_blk, logits, k, k_gumbel, k_rand, block_start)
         return (x, counts, key)
-
-    def _avoid_eos(logits):
-        if sc.avoid_eos and sc.eos_token_id is not None:
-            logits = logits.at[..., sc.eos_token_id].set(NEG_INF)
-        return logits
 
     def _score(logits, x_blk, k_gumbel, k_rand):
         """(x0, confidence) for a block's logits — shared scoring math."""
