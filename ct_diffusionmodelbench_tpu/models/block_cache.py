@@ -48,7 +48,9 @@ from ct_diffusionmodelbench_tpu.models.transformer import (
     EXPERT_STACK_KEYS,
     _attn_project,
     _ffn_block,
+    lm_head_logits,
     moe_stacked_mode,
+    token_positions,
 )
 from ct_diffusionmodelbench_tpu.ops.attention import attention, attention_reference
 from ct_diffusionmodelbench_tpu.ops.quant import qdot
@@ -74,19 +76,14 @@ def _split_params(cfg, params):
     return params["blocks"], None
 
 
-def _positions(attn_mask, B, S):
-    if attn_mask is not None:
-        pos = jnp.cumsum(attn_mask.astype(jnp.int32), axis=-1) - 1
-        return jnp.maximum(pos, 0)
-    return jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+# Position ids and LM head come from transformer.py so the cached and exact
+# forwards can never diverge on either convention.
+_positions = token_positions
 
 
 def _lm_head(cfg, params, x):
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    head = params.get("lm_head")
-    if head is None:
-        head = params["embed"].T
-    return qdot(x, head)
+    return lm_head_logits(params, x)
 
 
 def forward_refresh(cfg: ModelConfig, params: dict, input_ids: jnp.ndarray,
