@@ -218,6 +218,11 @@ def _sft_row(cfg, tcfg, label, *, A=4, B=1, L=2048):
         "samples_per_second_per_chip": round(A * B / dt, 3),
         "tokens_per_second_per_chip": round(A * B * L / dt, 1),
         "train_mfu": round(flops / dt / 197e12, 4),
+        # Model-FLOPs MFU (6*P*T, the HF-comparable convention).  remat=True
+        # recomputes the forward in the backward, so the chip actually
+        # executes ~8*P*T: hardware utilization is ~4/3 of this number.
+        "hardware_util_with_remat": (
+            round(flops * 8 / 6 / dt / 197e12, 4) if tcfg.remat else None),
         "reference": "4.873 samples/s = 0.609/GPU for 8B SFT on 8x GH200 "
                      "(NOV8_1kto21k training_metrics.json)",
     }
