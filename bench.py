@@ -120,6 +120,42 @@ def measure(cfg, params, fwd, *, steps, batch, reps, seed=1, cached_fns=None,
     return float(np.median(times))
 
 
+def onchip_seconds(cfg, params, fwd, *, steps, batch, seed=1):
+    """Device-plane duration of ONE batched sampler call — contention-robust
+    (tenant time-slicing happens between programs; on-chip op durations stay
+    valid — CLAUDE.md).  The whole sampler is one fori_loop program, so its
+    outermost `while` op's total IS the program's device time.  Returns None
+    off-TPU or if the profiler plane is unavailable."""
+    import tempfile
+
+    from ct_diffusionmodelbench_tpu.sampling import llada_generate
+
+    try:
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        from xprof_ffn import collect_xspace, device_op_totals
+    except Exception:
+        return None
+    kw = dict(steps=steps, gen_length=GEN_LENGTH, block_length=BLOCK_LENGTH,
+              temperature=0.0, mask_id=cfg.mask_token_id)
+    hi = min(cfg.vocab_size - 10, 100_000, cfg.mask_token_id)
+    prompt = jax.random.randint(jax.random.key(seed), (batch, PROMPT_LEN),
+                                10, hi)
+    try:
+        np.asarray(llada_generate(fwd, params, prompt, **kw))  # warm
+        d = tempfile.mkdtemp(prefix="bench_onchip_")
+        with jax.profiler.trace(d):
+            np.asarray(llada_generate(fwd, params, prompt, **kw))
+        totals = device_op_totals(collect_xspace(d))
+        whiles = [ms for (line, name), (ms, _) in totals.items()
+                  if line == "XLA Ops" and name.lstrip("%").startswith("while")]
+        sec = max(whiles) / 1e3 if whiles else 0.0
+        return round(sec, 4) if sec > 1e-4 else None
+    except Exception:
+        return None
+
+
 def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
                         dtype=None):
     """One model load, one single-sample latency, a throughput row per
@@ -193,13 +229,19 @@ def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
                 accel_rows.append(
                     {"mode": label,
                      "error": f"{type(e).__name__}: {str(e)[:120]}"})
-    del params
     ok = [r for r in rows if "error" not in r]
     if not ok:
+        del params
         # Every batch OOMed/errored: surface a model-level failure so the
         # caller's fallback logic runs instead of an opaque max() crash.
         raise RuntimeError(f"all batch measurements failed: {rows}")
     best = max(ok, key=lambda r: r["tok_per_sec_per_chip"])
+    # Contention-robust companion number: device-plane duration of the best
+    # batch's sampler program (valid even when the pool is time-sliced and
+    # wall-clock is a lower bound).
+    onchip = onchip_seconds(cfg, params, fwd, steps=steps,
+                            batch=best["batch"])
+    del params
     head = {
         "model": cfg.name,
         "params_total_b": round(cfg.param_count() / 1e9, 2),
@@ -217,6 +259,10 @@ def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
             steps * cfg.forward_flops(seq, lm_head_width=BLOCK_LENGTH),
             dt_single),
     }
+    if onchip is not None:
+        head["onchip_seconds_per_batch"] = onchip
+        head["onchip_tok_per_sec_per_chip"] = round(
+            best["batch"] * GEN_LENGTH / onchip / n_chips, 2)
     if accel_rows:
         # Fast-dLLM accelerated-mode rows (approximate numerics, opt-in):
         # reported alongside, never as the headline.
