@@ -235,12 +235,18 @@ def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
         # Every batch OOMed/errored: surface a model-level failure so the
         # caller's fallback logic runs instead of an opaque max() crash.
         raise RuntimeError(f"all batch measurements failed: {rows}")
-    best = max(ok, key=lambda r: r["tok_per_sec_per_chip"])
-    # Contention-robust companion number: device-plane duration of the best
+    # Contention-robust companion numbers: device-plane duration of each
     # batch's sampler program (valid even when the pool is time-sliced and
-    # wall-clock is a lower bound).
-    onchip = onchip_seconds(cfg, params, fwd, steps=steps,
-                            batch=best["batch"])
+    # wall-clock is a lower bound — measured: a contended window deflated
+    # the batch-8 wall row 34% while its on-chip time was unchanged).
+    for r in ok:
+        oc = onchip_seconds(cfg, params, fwd, steps=steps, batch=r["batch"])
+        if oc is not None:
+            r["onchip_seconds_per_batch"] = oc
+            r["onchip_tok_per_sec_per_chip"] = round(
+                r["batch"] * GEN_LENGTH / oc / n_chips, 2)
+    best = max(ok, key=lambda r: r["tok_per_sec_per_chip"])
+    onchip = best.get("onchip_seconds_per_batch")
     del params
     head = {
         "model": cfg.name,
@@ -263,6 +269,16 @@ def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
         head["onchip_seconds_per_batch"] = onchip
         head["onchip_tok_per_sec_per_chip"] = round(
             best["batch"] * GEN_LENGTH / onchip / n_chips, 2)
+    with_oc = [r for r in ok if "onchip_tok_per_sec_per_chip" in r]
+    if with_oc:
+        oc_best = max(with_oc, key=lambda r: r["onchip_tok_per_sec_per_chip"])
+        head["onchip_best"] = {
+            "batch": oc_best["batch"],
+            "tok_per_sec_per_chip": oc_best["onchip_tok_per_sec_per_chip"],
+            "note": "device-plane (contention-robust) best across the batch "
+                    "sweep; the wall-clock headline above is a lower bound "
+                    "when pool_sanity_matmul_ms is contended",
+        }
     if accel_rows:
         # Fast-dLLM accelerated-mode rows (approximate numerics, opt-in):
         # reported alongside, never as the headline.
