@@ -306,8 +306,9 @@ def bench_model(name, *, steps, batch, reps, peak_tflops, dtype=None):
         v = fl / dt / (n_chips * peak_tflops * 1e12)
         return round(v, 4) if np.isfinite(v) else None
 
+    oc = onchip_seconds(cfg, params, fwd, steps=steps, batch=batch)
     del params
-    return cfg, {
+    row = {
         "model": cfg.name,
         "params_total_b": round(cfg.param_count() / 1e9, 2),
         "params_active_b": round(cfg.active_param_count() / 1e9, 2),
@@ -322,6 +323,12 @@ def bench_model(name, *, steps, batch, reps, peak_tflops, dtype=None):
         "mfu": _mfu(flops_per_call, dt_batched),
         "mfu_single": _mfu(flops_per_call / batch, dt_single),
     }
+    if oc is not None:
+        row["onchip_seconds_per_batch"] = oc
+        row["onchip_tok_per_sec_per_chip"] = round(
+            batch * GEN_LENGTH / oc / n_chips, 2)
+        row["onchip_mfu"] = _mfu(flops_per_call, oc)
+    return cfg, row
 
 
 def main():
