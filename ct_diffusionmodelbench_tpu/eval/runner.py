@@ -155,7 +155,15 @@ class ModelRunner:
         # load_checkpoint returns HOST arrays; with quant, quantize_params
         # moves them to the device leaf-by-leaf, so the device never holds
         # the bf16 tree (one transient leaf at a time).
-        cfg, params = load_checkpoint(model_dir, dtype=dtype)
+        from ct_diffusionmodelbench_tpu.io.checkpoint import (
+            is_quantized_checkpoint, load_quantized_checkpoint)
+        if is_quantized_checkpoint(model_dir):
+            # ctdb-native int8 dir (tools/quantize_ckpt.py): already-
+            # quantized tree, no bf16 transit and no on-load quantize pass.
+            cfg, params = load_quantized_checkpoint(model_dir)
+            quant = quant or "int8"
+        else:
+            cfg, params = load_checkpoint(model_dir, dtype=dtype)
         try:
             tokenizer = Tokenizer.from_pretrained(model_dir)
         except Exception:

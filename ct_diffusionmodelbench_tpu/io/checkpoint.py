@@ -349,3 +349,85 @@ def save_checkpoint(
 
     with open(model_dir / "config.json", "w") as f:
         json.dump(_hf_config_dict(cfg), f, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# ctdb-native int8 serving checkpoints (ops/quant.py trees)
+# ---------------------------------------------------------------------------
+# A quantized tree's {q, s} dict leaves have no HF-layout equivalent (the
+# reference serves bf16 only), so int8 checkpoints use a ctdb-native format:
+# safetensors keyed by dotted TREE PATH (``blocks.wq.q`` int8,
+# ``blocks.wq.s`` f32) plus a ``ctdb_quant: "int8"`` marker in config.json.
+# Quantize once on disk (tools/quantize_ckpt.py), serve many times: loading
+# skips both the bf16 host→device transfer of the big tree and the on-load
+# quantization pass.
+
+_QUANT_MARKER = "ctdb_quant"
+
+
+def save_quantized_checkpoint(model_dir: str | Path, cfg: ModelConfig,
+                              qparams: dict,
+                              max_shard_size: int = 1 << 30) -> None:
+    """Write a quantized param tree (ops/quant.py layout) as a ctdb-native
+    int8 checkpoint."""
+    model_dir = Path(model_dir)
+    model_dir.mkdir(parents=True, exist_ok=True)
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}.{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", qparams)
+
+    shards = list(shard_tensors(flat, max_shard_size))
+    if len(shards) == 1:
+        save_safetensors(model_dir / WEIGHTS_SINGLE, shards[0],
+                         metadata={"format": "ctdb-int8"})
+    else:
+        weight_map, total = {}, 0
+        for n, shard in enumerate(shards, start=1):
+            shard_name = f"model-{n:05d}-of-{len(shards):05d}.safetensors"
+            save_safetensors(model_dir / shard_name, shard,
+                             metadata={"format": "ctdb-int8"})
+            for name, arr in shard.items():
+                weight_map[name] = shard_name
+                total += np.asarray(arr).nbytes
+        with open(model_dir / WEIGHTS_INDEX, "w") as f:
+            json.dump({"metadata": {"total_size": total},
+                       "weight_map": weight_map}, f, indent=2)
+
+    d = _hf_config_dict(cfg)
+    d[_QUANT_MARKER] = "int8"
+    with open(model_dir / "config.json", "w") as f:
+        json.dump(d, f, indent=2)
+
+
+def is_quantized_checkpoint(model_dir: str | Path) -> bool:
+    cfg_path = Path(model_dir) / "config.json"
+    if not cfg_path.exists():
+        return False
+    with open(cfg_path) as f:
+        return json.load(f).get(_QUANT_MARKER) == "int8"
+
+
+def load_quantized_checkpoint(
+        model_dir: str | Path,
+        cfg: Optional[ModelConfig] = None) -> tuple[ModelConfig, dict]:
+    """Load a ctdb-native int8 checkpoint back into the {q, s} pytree."""
+    model_dir = Path(model_dir)
+    if cfg is None:
+        cfg = config_from_hf(model_dir / "config.json", name=model_dir.name)
+    tensors = _read_all_tensors(model_dir)
+    params: dict = {}
+    for name, arr in tensors.items():
+        node = params
+        parts = name.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(np.ascontiguousarray(arr))
+    return cfg, params

@@ -193,3 +193,38 @@ def test_int8_grouped_ffn_stacked_layer_index():
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(want, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_int8_checkpoint_roundtrip(tmp_path):
+    """save_quantized_checkpoint -> load_quantized_checkpoint is
+    bit-identical, and ModelRunner.from_dir auto-detects the format
+    (the tools/quantize_ckpt.py serve-from-disk path)."""
+    from ct_diffusionmodelbench_tpu.io.checkpoint import (
+        is_quantized_checkpoint,
+        load_quantized_checkpoint,
+        save_quantized_checkpoint,
+    )
+
+    cfg = get_config("llada-moe-tiny", dtype="float32")
+    qparams = quantize_params(init_params(cfg, jax.random.key(8)))
+    d = tmp_path / "int8_ckpt"
+    save_quantized_checkpoint(d, cfg, qparams)
+    assert is_quantized_checkpoint(d)
+
+    cfg2, loaded = load_quantized_checkpoint(d)
+    assert cfg2.is_moe and cfg2.num_layers == cfg.num_layers
+    want = jax.tree.leaves_with_path(qparams)
+    got = {jax.tree_util.keystr(k): v
+           for k, v in jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    for path, leaf in want:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(got[key]),
+                                      err_msg=key)
+
+    from ct_diffusionmodelbench_tpu.eval.runner import ModelRunner
+    runner = ModelRunner.from_dir(d)
+    assert runner.quant == "int8"
+    assert is_quantized(runner.params["blocks"]["wq"])
+    out = runner.generate_ids(np.array([3, 4, 5], np.int32), gen_length=8,
+                              steps=4, block_length=4)
+    assert out.shape[-1] == 11
