@@ -1,22 +1,35 @@
 """Headline benchmark: denoised tokens/sec/chip, apples-to-apples vs the
 reference's own headline number.
 
-Headline model: **full-size llada-moe-7b** (7.35B total / ~1.7B active with
+Headline model: **full-size llada-moe-7b** (7.28B total / ~1.7B active with
 embeddings, bf16 = 13.7 GiB — fits one v5e chip), measured at the exact
 configuration the reference used for its 57.09 s/sample result: gen_length
 256, steps 128, block_length 32, greedy low-confidence remasking
 (Pre-Trained/bench_models/llada.py:576-587; model_performance.md:5 →
 ≈ 4.48 denoised tok/s on a GH200).
 
-Also reported (config.sub_benchmarks): the llada-2b dense model at the
-BASELINE.json north-star shape (256 steps), and per-run MFU =
-analytic matmul FLOPs (ModelConfig.forward_flops, block-sliced LM head)
-/ wall-clock / chip peak.
+**The default invocation is budgeted** (VERDICT r3 item 1 — the r3 driver
+run timed out, rc 124): it measures ONLY the batch-8 headline row, prints
+the one JSON line, and exits.  A wall-clock budget (env
+``CTDB_BENCH_BUDGET_S``, default 1200 s) gates every optional extra
+(on-chip companion, single-sample latency) so the JSON line always lands
+inside the budget; the quiet-pool wait is capped at 4 minutes and
+contention robustness comes from the device-plane companion number instead
+(on-chip durations stay valid under tenant time-slicing — CLAUDE.md).
+
+``--full`` prints the same headline line first, then keeps measuring
+(batch sweep 16/32, Fast-dLLM accel rows, per-row on-chip companions, and
+the llada-2b dense north-star sub-benchmark) and writes the superset
+artifact to ``--out`` (default BENCH_LOCAL_r04.json) — stdout stays
+one-JSON-line clean either way.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
+import argparse
 import json
+import os
+import sys
 import time
 
 import jax
@@ -38,10 +51,26 @@ PEAK_BF16_TFLOPS = {
     "TPU v6e": 918.0,
 }
 
+_DEADLINE = [float("inf")]
+
+
+def remaining() -> float:
+    """Seconds left in the run budget (headline must print before 0)."""
+    return _DEADLINE[0] - time.time()
+
+
+def log(msg):
+    """Progress goes to stderr — stdout carries exactly one JSON line."""
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.time()
+
 
 def chip_peak_tflops() -> tuple[str, float]:
     kind = jax.devices()[0].device_kind
-    for k, v in PEAK_BF16_TFLOPS.items():
+    for k in PEAK_BF16_TFLOPS:
         if kind.startswith(k):
             # prefer the longest (most specific) prefix match
             best = max((kk for kk in PEAK_BF16_TFLOPS if kind.startswith(kk)),
@@ -73,18 +102,20 @@ def _once(call):
     return time.time() - t0
 
 
-def wait_for_quiet(max_wait_s: float = 1500, threshold_ms: float = 0.8):
-    """Block until the shared axon pool looks quiet, or the budget expires.
+def wait_for_quiet(max_wait_s: float = 240, threshold_ms: float = 0.8):
+    """Block until the shared axon pool looks quiet, or the cap expires.
 
     The pooled chip is time-sliced across tenants and effective throughput
-    swings >30x within minutes (CLAUDE.md) — an unlucky window once
-    recorded a 9.17 s single-sample latency that re-measures at 2.66 s on
-    a quiet chip.  Returns the last sanity reading (recorded in the JSON
-    so a contended artifact is at least *labeled* as such)."""
+    swings >30x within minutes (CLAUDE.md).  The cap is deliberately short
+    (VERDICT r3: a 25-min wait burned the whole driver budget); when the
+    window stays contended we measure anyway and lean on the on-chip
+    device-plane companion, which tenant time-slicing does not disturb.
+    Returns the last sanity reading (recorded in the JSON so a contended
+    artifact is at least *labeled* as such)."""
     deadline = time.time() + max_wait_s
     ms = _sanity_matmul_ms()
     while ms >= threshold_ms and time.time() < deadline:
-        time.sleep(60)
+        time.sleep(30)
         ms = _sanity_matmul_ms()
     return ms
 
@@ -131,7 +162,6 @@ def onchip_seconds(cfg, params, fwd, *, steps, batch, seed=1):
     from ct_diffusionmodelbench_tpu.sampling import llada_generate
 
     try:
-        import sys
         from pathlib import Path
         sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
         from xprof_ffn import collect_xspace, device_op_totals
@@ -156,52 +186,143 @@ def onchip_seconds(cfg, params, fwd, *, steps, batch, seed=1):
         return None
 
 
-def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
-                        dtype=None):
-    """One model load, one single-sample latency, a throughput row per
-    batch size.  Returns (cfg, best_row, all_rows) — best = max tok/s."""
-    from ct_diffusionmodelbench_tpu.models import get_config, init_params, make_forward_fn
+def _mfu(fl, dt, n_chips, peak_tflops):
+    v = fl / dt / (n_chips * peak_tflops * 1e12)
+    return round(v, 4) if np.isfinite(v) else None
 
-    cfg = get_config(name) if dtype is None else get_config(name, dtype=dtype)
-    params = init_params(cfg, jax.random.key(0))
-    jax.block_until_ready(params)
-    fwd = make_forward_fn(cfg)
 
-    n_chips = len(jax.devices())
+def load_headline_model():
+    """Load the full-size MoE, falling back to the documented bench preset
+    if the axon pool allocator rejects it.  Returns (cfg, params, fwd,
+    fallback_note)."""
+    from ct_diffusionmodelbench_tpu.models import (
+        get_config, init_params, make_forward_fn)
+
+    note = None
+    try:
+        cfg = get_config("llada-moe-7b")
+        params = init_params(cfg, jax.random.key(0))
+        jax.block_until_ready(params)
+    except Exception as e:  # ResourceExhausted from the pool allocator
+        import gc
+        gc.collect()
+        # Axon reclamation lag: freed HBM only returns ~1-2 min after a
+        # failure (CLAUDE.md) — sleep it off, but never past the budget.
+        time.sleep(max(30.0, min(150.0, remaining() - 240)))
+        note = (
+            "full-size llada-moe-7b (7.28B, 13.7 GiB bf16) hit the axon "
+            "pool allocator's two->3GiB-buffer cap "
+            f"({type(e).__name__}); measured the llada-moe-bench1chip "
+            "fallback: same architecture and active compute (top-8-of-"
+            "64 + shared, D=2048, 1.49B active vs 1.4B published), "
+            "5.72B total so total-expert HBM traffic is ~25% lighter "
+            "than the real 7B — treat the number as an upper bound "
+            "within ~25% on the bandwidth-bound component")
+        cfg = get_config("llada-moe-bench1chip")
+        params = init_params(cfg, jax.random.key(0))
+        jax.block_until_ready(params)
+    return cfg, params, make_forward_fn(cfg), note
+
+
+def batch_row(cfg, params, fwd, *, steps, batch, reps, peak, n_chips,
+              with_onchip):
+    """One throughput row at a given batch size (+ on-chip companion)."""
     seq = PROMPT_LEN + GEN_LENGTH
-    dt_single = measure(cfg, params, fwd, steps=steps, batch=1, reps=2)
+    dt = measure(cfg, params, fwd, steps=steps, batch=batch, reps=reps)
+    flops = batch * steps * cfg.forward_flops(seq, lm_head_width=BLOCK_LENGTH)
+    row = {
+        "batch": batch,
+        "tok_per_sec_per_chip": round(batch * GEN_LENGTH / dt / n_chips, 2),
+        "seconds_per_batch": round(dt, 3),
+        "seconds_per_sample_batched": round(dt / batch, 3),
+        "mfu": _mfu(flops, dt, n_chips, peak),
+    }
+    if with_onchip:
+        oc = onchip_seconds(cfg, params, fwd, steps=steps, batch=batch)
+        if oc is not None:
+            row["onchip_seconds_per_batch"] = oc
+            row["onchip_tok_per_sec_per_chip"] = round(
+                batch * GEN_LENGTH / oc / n_chips, 2)
+            row["onchip_mfu"] = _mfu(flops, oc, n_chips, peak)
+    return row
 
-    def _mfu(fl, dt):
-        v = fl / dt / (n_chips * peak_tflops * 1e12)
-        return round(v, 4) if np.isfinite(v) else None
 
-    rows = []
-    for batch in batches:
+def headline_tpu(peak, n_chips):
+    """The budgeted default path: ONE model, ONE batch size, headline dict.
+
+    Returns (cfg, params, fwd, head) so --full can keep measuring on the
+    same loaded model."""
+    log("loading headline model (full-size llada-moe-7b)")
+    cfg, params, fwd, note = load_headline_model()
+    log(f"model ready: {cfg.name}; measuring batch 8 "
+        f"(remaining budget {remaining():.0f}s)")
+    row = batch_row(cfg, params, fwd, steps=128, batch=8, reps=2,
+                    peak=peak, n_chips=n_chips,
+                    with_onchip=remaining() > 90)
+    head = {
+        "model": cfg.name,
+        "params_total_b": round(cfg.param_count() / 1e9, 2),
+        "params_active_b": round(cfg.active_param_count() / 1e9, 2),
+        "prompt_len": PROMPT_LEN, "gen_length": GEN_LENGTH,
+        "steps": 128, "block_length": BLOCK_LENGTH,
+        "dtype": cfg.dtype,
+        **{k: v for k, v in row.items() if k != "mfu"},
+        "mfu": row["mfu"],
+    }
+    if note:
+        head["fallback_note"] = note
+    # Single-sample latency costs one extra (batch-1) compile — only when
+    # the budget clearly allows it.
+    if remaining() > 360:
+        log("measuring single-sample latency")
         try:
-            dt = measure(cfg, params, fwd, steps=steps, batch=batch, reps=reps)
-        except Exception as e:  # one batch OOMing shouldn't kill the sweep
+            dt1 = measure(cfg, params, fwd, steps=128, batch=1, reps=2)
+            head["single_sample_latency_sec"] = round(dt1, 3)
+            head["single_sample_tok_per_sec"] = round(GEN_LENGTH / dt1, 2)
+            seq = PROMPT_LEN + GEN_LENGTH
+            head["mfu_single"] = _mfu(
+                128 * cfg.forward_flops(seq, lm_head_width=BLOCK_LENGTH),
+                dt1, n_chips, peak)
+        except Exception as e:
+            head["single_sample_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    return cfg, params, fwd, head
+
+
+def full_extras(cfg, params, fwd, head, peak, n_chips):
+    """--full only: batch sweep, accel rows, dense north-star sub-benchmark.
+    Mutates/extends a copy of the artifact dict; may take tens of minutes."""
+    rows = [dict(head_row_view(head))]
+    for batch in (16, 32):
+        log(f"sweep: batch {batch}")
+        try:
+            rows.append(batch_row(cfg, params, fwd, steps=128, batch=batch,
+                                  reps=2, peak=peak, n_chips=n_chips,
+                                  with_onchip=True))
+        except Exception as e:
             rows.append({"batch": batch,
                          "error": f"{type(e).__name__}: {str(e)[:120]}"})
-            continue
-        flops = batch * steps * cfg.forward_flops(seq, lm_head_width=BLOCK_LENGTH)
-        rows.append({
-            "batch": batch,
-            "tok_per_sec_per_chip": round(batch * GEN_LENGTH / dt / n_chips, 2),
-            "seconds_per_batch": round(dt, 3),
-            "seconds_per_sample_batched": round(dt / batch, 3),
-            "mfu": _mfu(flops, dt),
-        })
+    head["batch_sweep"] = rows
+    ok = [r for r in rows if "error" not in r]
+    with_oc = [r for r in ok if "onchip_tok_per_sec_per_chip" in r]
+    if with_oc:
+        oc_best = max(with_oc, key=lambda r: r["onchip_tok_per_sec_per_chip"])
+        head["onchip_best"] = {
+            "batch": oc_best["batch"],
+            "tok_per_sec_per_chip": oc_best["onchip_tok_per_sec_per_chip"],
+            "note": "device-plane (contention-robust) best across the batch "
+                    "sweep; the wall-clock headline is a lower bound when "
+                    "pool_sanity_matmul_ms is contended",
+        }
     # Opt-in dual-cache accelerated decode (models/block_cache.py,
     # Fast-dLLM-style): same model, same sampler config, approximate
-    # numerics — reported as its own row, never as the headline (the
+    # numerics — reported as its own rows, never as the headline (the
     # headline stays exact-semantics for apples-to-apples).
     accel_rows = []
-    ok_batches = [r["batch"] for r in rows if "error" not in r]
-    if ok_batches:
+    if ok:
         from ct_diffusionmodelbench_tpu.models.block_cache import (
             make_cached_fns)
         cached = make_cached_fns(cfg)
-        ab = max(ok_batches)
+        ab = max(r["batch"] for r in ok)
         for label, mkw in (
                 ("block-cache (--accel block-cache)",
                  dict(cached_fns=cached)),
@@ -214,9 +335,10 @@ def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
                 ("block-cache + parallel-threshold 0.9, worst-case "
                  "(--accel block-cache --parallel-threshold 0.9)",
                  dict(cached_fns=cached, parallel_threshold=0.9))):
+            log(f"accel row: {label}")
             try:
-                dt_a = measure(cfg, params, fwd, steps=steps, batch=ab,
-                               reps=reps, **mkw)
+                dt_a = measure(cfg, params, fwd, steps=128, batch=ab,
+                               reps=2, **mkw)
                 accel_rows.append({
                     "mode": label,
                     "batch": ab,
@@ -229,169 +351,107 @@ def bench_model_batches(name, *, steps, batches, reps, peak_tflops,
                 accel_rows.append(
                     {"mode": label,
                      "error": f"{type(e).__name__}: {str(e)[:120]}"})
-    ok = [r for r in rows if "error" not in r]
-    if not ok:
-        del params
-        # Every batch OOMed/errored: surface a model-level failure so the
-        # caller's fallback logic runs instead of an opaque max() crash.
-        raise RuntimeError(f"all batch measurements failed: {rows}")
-    # Contention-robust companion numbers: device-plane duration of each
-    # batch's sampler program (valid even when the pool is time-sliced and
-    # wall-clock is a lower bound — measured: a contended window deflated
-    # the batch-8 wall row 34% while its on-chip time was unchanged).
-    for r in ok:
-        oc = onchip_seconds(cfg, params, fwd, steps=steps, batch=r["batch"])
-        if oc is not None:
-            r["onchip_seconds_per_batch"] = oc
-            r["onchip_tok_per_sec_per_chip"] = round(
-                r["batch"] * GEN_LENGTH / oc / n_chips, 2)
-    best = max(ok, key=lambda r: r["tok_per_sec_per_chip"])
-    onchip = best.get("onchip_seconds_per_batch")
-    del params
-    head = {
-        "model": cfg.name,
-        "params_total_b": round(cfg.param_count() / 1e9, 2),
-        "params_active_b": round(cfg.active_param_count() / 1e9, 2),
-        "prompt_len": PROMPT_LEN, "gen_length": GEN_LENGTH,
-        "steps": steps, "block_length": BLOCK_LENGTH,
-        "dtype": cfg.dtype, "batch": best["batch"],
-        "tok_per_sec_per_chip": best["tok_per_sec_per_chip"],
-        "seconds_per_batch": best["seconds_per_batch"],
-        "seconds_per_sample_batched": best["seconds_per_sample_batched"],
-        "single_sample_latency_sec": round(dt_single, 3),
-        "single_sample_tok_per_sec": round(GEN_LENGTH / dt_single, 2),
-        "mfu": best["mfu"],
-        "mfu_single": _mfu(
-            steps * cfg.forward_flops(seq, lm_head_width=BLOCK_LENGTH),
-            dt_single),
-    }
-    if onchip is not None:
-        head["onchip_seconds_per_batch"] = onchip
-        head["onchip_tok_per_sec_per_chip"] = round(
-            best["batch"] * GEN_LENGTH / onchip / n_chips, 2)
-    with_oc = [r for r in ok if "onchip_tok_per_sec_per_chip" in r]
-    if with_oc:
-        oc_best = max(with_oc, key=lambda r: r["onchip_tok_per_sec_per_chip"])
-        head["onchip_best"] = {
-            "batch": oc_best["batch"],
-            "tok_per_sec_per_chip": oc_best["onchip_tok_per_sec_per_chip"],
-            "note": "device-plane (contention-robust) best across the batch "
-                    "sweep; the wall-clock headline above is a lower bound "
-                    "when pool_sanity_matmul_ms is contended",
-        }
     if accel_rows:
-        # Fast-dLLM accelerated-mode rows (approximate numerics, opt-in):
-        # reported alongside, never as the headline.
         head["accel"] = accel_rows
-    return cfg, head, rows
 
 
-def bench_model(name, *, steps, batch, reps, peak_tflops, dtype=None):
-    from ct_diffusionmodelbench_tpu.models import get_config, init_params, make_forward_fn
-
-    cfg = get_config(name) if dtype is None else get_config(name, dtype=dtype)
-    params = init_params(cfg, jax.random.key(0))
-    jax.block_until_ready(params)
-    fwd = make_forward_fn(cfg)
-
-    dt_single = measure(cfg, params, fwd, steps=steps, batch=1, reps=max(reps, 2))
-    dt_batched = measure(cfg, params, fwd, steps=steps, batch=batch, reps=reps)
-
-    n_chips = len(jax.devices())
-    tok_s_chip = batch * GEN_LENGTH / dt_batched / n_chips
+def dense_subbench(peak, n_chips):
+    """--full only: north-star shape (BASELINE.json: 256 steps) on the
+    dense 2B.  Call only after the MoE params are released — both models
+    resident would blow the 16 GB chip."""
+    log("dense north-star sub-benchmark (llada-2b, 256 steps)")
+    from ct_diffusionmodelbench_tpu.models import (
+        get_config, init_params, make_forward_fn)
+    dcfg = get_config("llada-2b")
+    dparams = init_params(dcfg, jax.random.key(0))
+    jax.block_until_ready(dparams)
+    dfwd = make_forward_fn(dcfg)
+    drow = batch_row(dcfg, dparams, dfwd, steps=256, batch=8, reps=2,
+                     peak=peak, n_chips=n_chips, with_onchip=True)
+    dt1 = measure(dcfg, dparams, dfwd, steps=256, batch=1, reps=2)
     seq = PROMPT_LEN + GEN_LENGTH
-    flops_per_call = batch * steps * cfg.forward_flops(seq, lm_head_width=BLOCK_LENGTH)
-
-    def _mfu(fl, dt):
-        v = fl / dt / (n_chips * peak_tflops * 1e12)
-        return round(v, 4) if np.isfinite(v) else None
-
-    oc = onchip_seconds(cfg, params, fwd, steps=steps, batch=batch)
-    del params
-    row = {
-        "model": cfg.name,
-        "params_total_b": round(cfg.param_count() / 1e9, 2),
-        "params_active_b": round(cfg.active_param_count() / 1e9, 2),
+    dense = {
+        "model": dcfg.name,
+        "params_total_b": round(dcfg.param_count() / 1e9, 2),
+        "params_active_b": round(dcfg.active_param_count() / 1e9, 2),
         "prompt_len": PROMPT_LEN, "gen_length": GEN_LENGTH,
-        "steps": steps, "block_length": BLOCK_LENGTH,
-        "dtype": cfg.dtype, "batch": batch,
-        "tok_per_sec_per_chip": round(tok_s_chip, 2),
-        "seconds_per_batch": round(dt_batched, 3),
-        "seconds_per_sample_batched": round(dt_batched / batch, 3),
-        "single_sample_latency_sec": round(dt_single, 3),
-        "single_sample_tok_per_sec": round(GEN_LENGTH / dt_single, 2),
-        "mfu": _mfu(flops_per_call, dt_batched),
-        "mfu_single": _mfu(flops_per_call / batch, dt_single),
-    }
-    if oc is not None:
-        row["onchip_seconds_per_batch"] = oc
-        row["onchip_tok_per_sec_per_chip"] = round(
-            batch * GEN_LENGTH / oc / n_chips, 2)
-        row["onchip_mfu"] = _mfu(flops_per_call, oc)
-    return cfg, row
-
-
-def main():
-    on_tpu = jax.default_backend() == "tpu"
-    chip_kind, peak = chip_peak_tflops()
-    n_chips = len(jax.devices())
-
-    sanity_ms = sanity_after_ms = None
-    if on_tpu:
-        sanity_ms = round(wait_for_quiet(), 3)
-        # Headline: the reference's own model class and sampler config.
-        # Try the full-size 7.27B MoE first; the shared axon pool's
-        # allocator caps >3 GiB buffers at two, so its three ~3.9 GiB
-        # expert stacks usually cannot all be resident on this tunneled
-        # chip even though 13.5 GiB < HBM — fall back to the documented
-        # bench preset (identical active compute, ~25% lighter total-expert
-        # HBM traffic) and say so in the JSON.
-        moe_note = None
-        try:
-            # Throughput sweeps with batch: the ~0.86 ms/layer expert-weight
-            # stream is batch-invariant, so larger batches amortize it and
-            # raise tok/s/chip until compute-bound.  Measure 8/16/32 in one
-            # model load, headline the best, and keep every row.
-            cfg, moe, moe_sweep = bench_model_batches(
-                "llada-moe-7b", steps=128, batches=(8, 16, 32),
-                reps=2, peak_tflops=peak)
-        except Exception as e:  # ResourceExhausted from the pool allocator
-            import gc
-            gc.collect()
-            time.sleep(150)  # axon reclamation lag: freed HBM returns ~2 min
-            moe_note = (
-                "full-size llada-moe-7b (7.27B, 13.5 GiB bf16) hit the axon "
-                "pool allocator's two->3GiB-buffer cap "
-                f"({type(e).__name__}); measured the llada-moe-bench1chip "
-                "fallback: same architecture and active compute (top-8-of-"
-                "64 + shared, D=2048, 1.49B active vs 1.4B published), "
-                "5.72B total so total-expert HBM traffic is ~25% lighter "
-                "than the real 7B — treat the number as an upper bound "
-                "within ~25% on the bandwidth-bound component")
-            cfg, moe, moe_sweep = bench_model_batches(
-                "llada-moe-bench1chip", steps=128, batches=(8, 16, 32),
-                reps=2, peak_tflops=peak)
-        if moe_note:
-            moe["fallback_note"] = moe_note
-        moe["batch_sweep"] = moe_sweep
-        # North-star shape (BASELINE.json: 256 steps) on the dense 2B.
-        _, dense = bench_model("llada-2b", steps=256, batch=8, reps=2,
-                               peak_tflops=peak)
-        sanity_after_ms = round(_sanity_matmul_ms(), 3)
-        dense["note"] = (
+        "steps": 256, "block_length": BLOCK_LENGTH,
+        "dtype": dcfg.dtype,
+        **drow,
+        "single_sample_latency_sec": round(dt1, 3),
+        "single_sample_tok_per_sec": round(GEN_LENGTH / dt1, 2),
+        "mfu_single": _mfu(
+            256 * dcfg.forward_flops(seq, lm_head_width=BLOCK_LENGTH),
+            dt1, n_chips, peak),
+        "note": (
             "stand-in for the LLaDA-8B the north star names "
             "(BASELINE.json:2): 8B bf16 is ~16.3 GB > one v5e chip's 16 GB "
             "HBM, so a faithful same-architecture scale-down (22L, D=2048) "
             "runs the 256-step north-star shape single-chip; the full 8B "
-            "executes under TP>=2 (tests/test_full_size_lowering.py)")
-    else:  # CPU smoke path for CI
-        cfg, moe = bench_model("llada-moe-tiny", steps=16, batch=2, reps=1,
-                               peak_tflops=peak, dtype="float32")
-        _, dense = bench_model("llada-tiny", steps=16, batch=2, reps=1,
-                               peak_tflops=peak, dtype="float32")
+            "executes under TP>=2 (tests/test_full_size_lowering.py)"),
+    }
+    del dparams
+    return dense
 
-    value = moe["tok_per_sec_per_chip"]
-    print(json.dumps({
+
+def head_row_view(head):
+    """The headline's own batch row, for the sweep table."""
+    keys = ("batch", "tok_per_sec_per_chip", "seconds_per_batch",
+            "seconds_per_sample_batched", "mfu", "onchip_seconds_per_batch",
+            "onchip_tok_per_sec_per_chip", "onchip_mfu")
+    return {k: head[k] for k in keys if k in head}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="after printing the headline JSON line, keep "
+                         "measuring (batch sweep, accel rows, dense "
+                         "north-star) and write the superset artifact "
+                         "to --out")
+    ap.add_argument("--out", default="BENCH_LOCAL_r04.json",
+                    help="artifact path for --full extras")
+    args = ap.parse_args()
+
+    budget = float(os.environ.get("CTDB_BENCH_BUDGET_S", "1200"))
+    _DEADLINE[0] = time.time() + budget
+
+    on_tpu = jax.default_backend() == "tpu"
+    chip_kind, peak = chip_peak_tflops()
+    n_chips = len(jax.devices())
+
+    sanity_ms = None
+    if on_tpu:
+        log(f"budget {budget:.0f}s; waiting for a quiet pool window "
+            "(cap 240s)")
+        sanity_ms = round(wait_for_quiet(
+            max_wait_s=min(240.0, max(0.0, remaining() - 600))), 3)
+        log(f"pool sanity matmul: {sanity_ms} ms/iter "
+            f"({'quiet' if sanity_ms < 0.8 else 'CONTENDED'})")
+        cfg, params, fwd, head = headline_tpu(peak, n_chips)
+    else:  # CPU smoke path for CI
+        from ct_diffusionmodelbench_tpu.models import (
+            get_config, init_params, make_forward_fn)
+        cfg = get_config("llada-moe-tiny", dtype="float32")
+        params = init_params(cfg, jax.random.key(0))
+        fwd = make_forward_fn(cfg)
+        row = batch_row(cfg, params, fwd, steps=16, batch=2, reps=1,
+                        peak=peak, n_chips=n_chips, with_onchip=False)
+        head = {"model": cfg.name, "dtype": cfg.dtype, **row}
+
+    # Headline value: wall-clock tok/s/chip.  Under a contended pool window
+    # wall-clock is unreliable in BOTH directions (CLAUDE.md: deflated up to
+    # 34% OR inflated 3-60x) while device-plane durations stay valid — so
+    # when the sanity matmul says contended and the on-chip companion
+    # exists, the on-chip number IS the headline (labeled via value_source).
+    value = head["tok_per_sec_per_chip"]
+    value_source = "wall_clock"
+    if (sanity_ms is not None and sanity_ms >= 0.8
+            and "onchip_tok_per_sec_per_chip" in head):
+        value = head["onchip_tok_per_sec_per_chip"]
+        value_source = "onchip_device_plane"
+
+    result = {
         "metric": "denoised_tokens_per_sec_per_chip",
         "value": value,
         "unit": "tok/s/chip",
@@ -403,19 +463,43 @@ def main():
             "backend": jax.default_backend(),
             "chips": n_chips,
             "chip_kind": chip_kind,
-            # ms/iter of a sanity 2048^3 matmul right before and right
-            # after measuring: ~0.1 quiet, multi-ms when other tenants
-            # share the chip (the numbers below are then lower bounds on
-            # true throughput).
+            "value_source": value_source,
+            # ms/iter of a sanity 2048^3 matmul right before measuring:
+            # ~0.1 quiet, multi-ms when other tenants share the chip.
             "pool_sanity_matmul_ms": sanity_ms,
-            "pool_sanity_matmul_ms_after": sanity_after_ms,
             "peak_bf16_tflops_per_chip": peak if np.isfinite(peak) else None,
             "baseline": "LLaDA-MoE-7B-A1B 256 tok / 57.09 s on GH200 "
                         "(model_performance.md:5; BASELINE.md)",
-            "headline": moe,
-            "sub_benchmarks": {"llada_2b_dense_north_star": dense},
+            "budget_s": budget,
+            "elapsed_s": round(time.time() - _T0, 1),
+            "headline": head,
         },
-    }))
+    }
+    print(json.dumps(result), flush=True)
+
+    if args.full and on_tpu:
+        log("--full: continuing with sweep/accel/dense extras")
+        try:
+            full_extras(cfg, params, fwd, head, peak, n_chips)
+        except Exception as e:
+            result["config"]["full_extras_error"] = (
+                f"sweep/accel: {type(e).__name__}: {str(e)[:200]}")
+        del params, fwd  # release the 13.7 GiB MoE before the dense init
+        import gc
+        gc.collect()
+        try:
+            dense = dense_subbench(peak, n_chips)
+            result["config"]["sub_benchmarks"] = {
+                "llada_2b_dense_north_star": dense}
+        except Exception as e:
+            result["config"]["dense_subbench_error"] = (
+                f"{type(e).__name__}: {str(e)[:200]}")
+        result["config"]["pool_sanity_matmul_ms_after"] = round(
+            _sanity_matmul_ms(), 3)
+        result["config"]["elapsed_s"] = round(time.time() - _T0, 1)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        log(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

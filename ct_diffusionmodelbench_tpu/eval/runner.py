@@ -80,7 +80,8 @@ class ModelRunner:
         # quant="int8": weight-only per-channel int8 serving (ops/quant.py)
         # — the single-chip answer to checkpoints that overflow one device
         # (LLaDA-8B bf16 16.3 GB > 16 GB HBM; the reference splits across
-        # GPUs with device_map="auto", llada.py:137-141).  Approximate
+        # GPUs with device_map="auto", Inference/chat_finetuned.py:138-144).
+        # Approximate
         # (weight rounding), so opt-in; TP>=2 bf16 remains the exact path.
         self.quant = quant
         if quant is not None:

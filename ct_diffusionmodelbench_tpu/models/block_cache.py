@@ -32,6 +32,7 @@ families (Dream/DiffuCoder), causal AR models, sharded meshes.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -168,9 +169,15 @@ def forward_cached_step(cfg: ModelConfig, params: dict,
     return _lm_head(cfg, params, x)
 
 
+@functools.lru_cache(maxsize=None)
 def make_cached_fns(cfg: ModelConfig):
     """Bundle the two passes for the sampler.  Returns (refresh_fn, step_fn,
     init_cache_fn):
+
+    Memoized per (frozen, hashable) config: repeated calls return the
+    IDENTICAL tuple, so the sampler cache in sampling/llada.py (keyed on the
+    tuple's element identities) hits instead of retracing — callers may call
+    this per generate() without a retrace penalty.
 
     - refresh_fn(params, x, attn_mask, block_start, block_length)
         -> (block logits, k_cache, v_cache)

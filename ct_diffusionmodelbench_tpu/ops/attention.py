@@ -123,12 +123,19 @@ def attention(
                 return ring_attention(qr, kr, v, mask=mask, mesh=mesh)
     if impl == "auto":
         # Measured crossover on v5e at the 8B head geometry with RoPE fused
-        # in-kernel (PERF.json attention_crossover, round 3): XLA's fused
-        # attention wins at S<=512 (pallas_call is a fusion barrier and the
-        # O(S^2) buffers still fit cache-friendly tiles), the flash kernel
-        # wins from S=1024 (1.47x) and grows to >3x by S>=2048.  Dispatch on
-        # sequence length; override with impl= or cfg.attn_impl.
-        impl = ("pallas" if _on_tpu() and q.shape[1] >= 1024 else "reference")
+        # in-kernel (PERF.json attention_crossover; round-4 head-grouped
+        # kernel A/B, tools/flash_group_ab.py): XLA's fused attention wins
+        # only while the whole problem stays small — its cost blows up
+        # super-linearly past ~2k total rows (b4/S512 0.454 ms vs b2/S512
+        # 0.105) and quadratically in S from 1024.  The head-grouped flash
+        # kernel wins at S>=1024 for any batch (1.47x..3.3x), S>=512 from
+        # batch 4 (1.71x), and S>=320 from batch 8 (1.18x) — which covers
+        # the batched serving headline (prompt 64 + gen 256).  Single-sample
+        # short-S latency stays on XLA.  Override with impl= or
+        # cfg.attn_impl.
+        b, s = q.shape[0], q.shape[1]
+        wins = s >= 1024 or (s >= 512 and b >= 4) or (s >= 320 and b >= 8)
+        impl = "pallas" if _on_tpu() and wins else "reference"
     if causal:
         impl = "reference"
     if impl == "pallas":

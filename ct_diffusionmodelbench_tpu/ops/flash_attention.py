@@ -49,8 +49,14 @@ def _rope_rows(x, cos, sin):
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
-def _flash_kernel(*refs, scale, tk, s_pad, with_lse, with_rope):
+def _flash_kernel(*refs, scale, tk, s_pad, with_lse, with_rope, g, rep):
     # Ref order: q, k, v, bias[, cos_q, sin_q, cos_k, sin_k], o[, lse].
+    # Blocks carry ``g`` query heads per program ([1, T, g*Dh] column slices
+    # of the flat [B, S_pad, H*Dh] layout — trailing dims satisfy Mosaic's
+    # (8, 128) tiling).  g > 1 amortizes the per-program dispatch overhead
+    # that dominates at short sequence lengths (VERDICT r3 item 5: at S=320
+    # the per-head grid paid ~2 us x 32 programs against ~9 us of MXU work).
+    # The head loop is Python-unrolled so every lane-dim slice is STATIC.
     if with_rope:
         (q_ref, k_ref, v_ref, bias_ref, cq_ref, sq_ref, ck_ref, sk_ref,
          *outs) = refs
@@ -58,52 +64,55 @@ def _flash_kernel(*refs, scale, tk, s_pad, with_lse, with_rope):
         q_ref, k_ref, v_ref, bias_ref, *outs = refs
     o_ref = outs[0]
     lse_ref = outs[1] if with_lse else None
-    # Blocks are [1, T, Dh] column slices of the flat [B, S_pad, H*Dh]
-    # layout: trailing dims (T, Dh) satisfy Mosaic's (8, 128) tiling.
-    q = q_ref[0, :, :]  # [TQ, Dh]
-    if with_rope:
-        # Fused RoPE + cast: q/k arrive unrotated, the rotation runs on the
-        # f32 tile in VMEM and casts straight to the MXU input dtype — the
-        # separate XLA rope fusion's HBM round-trip of roped q/k disappears
-        # (VERDICT r2 weak 3 / STATUS gap 4).
-        q = _rope_rows(q, cq_ref[0], sq_ref[0]).astype(q_ref.dtype)
-    tq, dh = q.shape
+    dh = o_ref.shape[-1] // g
     nk = s_pad // tk
 
-    def body(j, carry):
-        acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(j * tk, tk), :]             # [TK, Dh]
+    for hj in range(g):
+        q = q_ref[0, :, hj * dh:(hj + 1) * dh]  # [TQ, Dh]
         if with_rope:
-            k_blk = _rope_rows(
-                k_blk, ck_ref[0, pl.ds(j * tk, tk), :],
-                sk_ref[0, pl.ds(j * tk, tk), :]).astype(k_ref.dtype)
-        v_blk = v_ref[0, pl.ds(j * tk, tk), :]
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                           # [TQ, TK] f32
-        s = s + bias_ref[0, 0, pl.ds(j * tk, tk)][None, :]
+            # Fused RoPE + cast: q/k arrive unrotated, the rotation runs on
+            # the f32 tile in VMEM and casts straight to the MXU input dtype
+            # — the separate XLA rope fusion's HBM round-trip of roped q/k
+            # disappears (VERDICT r2 weak 3 / STATUS gap 4).
+            q = _rope_rows(q, cq_ref[0], sq_ref[0]).astype(q_ref.dtype)
+        tq = q.shape[0]
+        kj = hj // rep  # local kv-head slice (see _run_forward's constraint)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_new[:, None])
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1)
-        pv = jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc * alpha[:, None] + pv
-        return acc, m_new, l
+        def body(j, carry, q=q, kj=kj):
+            acc, m, l = carry
+            k_blk = k_ref[0, pl.ds(j * tk, tk), kj * dh:(kj + 1) * dh]
+            if with_rope:
+                k_blk = _rope_rows(
+                    k_blk, ck_ref[0, pl.ds(j * tk, tk), :],
+                    sk_ref[0, pl.ds(j * tk, tk), :]).astype(k_ref.dtype)
+            v_blk = v_ref[0, pl.ds(j * tk, tk), kj * dh:(kj + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                       # [TQ, TK] f32
+            s = s + bias_ref[0, 0, pl.ds(j * tk, tk)][None, :]
 
-    acc = jnp.zeros((tq, dh), jnp.float32)
-    m = jnp.full((tq,), NEG_INF, jnp.float32)
-    l = jnp.zeros((tq,), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, nk, body, (acc, m, l))
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+            p = jnp.exp(s - m_new[:, None])
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1)
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc * alpha[:, None] + pv
+            return acc, m_new, l
 
-    out = acc / jnp.maximum(l, 1e-30)[:, None]
-    o_ref[0, :, :] = out.astype(o_ref.dtype)
-    if with_lse:
-        lse_ref[0, :, 0] = m + jnp.log(jnp.maximum(l, 1e-30))  # [1, TQ, 1] block
+        acc = jnp.zeros((tq, dh), jnp.float32)
+        m = jnp.full((tq,), NEG_INF, jnp.float32)
+        l = jnp.zeros((tq,), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(0, nk, body, (acc, m, l))
+
+        out = acc / jnp.maximum(l, 1e-30)[:, None]
+        o_ref[0, :, hj * dh:(hj + 1) * dh] = out.astype(o_ref.dtype)
+        if with_lse:
+            # [g, TQ, 1] block
+            lse_ref[hj, :, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -187,6 +196,36 @@ def _flash_core_rope(h, kv, dh, tq, tk, qf, kf, vf, bias, cq, sq, ck, sk):
     return of
 
 
+def _head_group(h, rep, dh, tq, sk_pad, itemsize=2):
+    """Query heads per program.  Grouping amortizes per-program dispatch
+    overhead — decisive at short S where each head's attention is ~10 us of
+    MXU work (VERDICT r3 item 5) — but multiplies per-program VMEM, so the
+    largest group fitting a ~10 MB budget (of ~16 MB/core) wins.  Valid
+    groups divide h and align with GQA (g % rep == 0 keeps whole kv heads
+    per program; rep % g == 0 keeps one shared kv head).  Env override
+    ``CTDB_FLASH_HEAD_GROUP`` for A/B sweeps."""
+    import os
+
+    env = os.environ.get("CTDB_FLASH_HEAD_GROUP")
+    if env:
+        return max(1, int(env))
+    if sk_pad > 1024:
+        # long-S regime: per-program work is already large, and full-seq
+        # k/v blocks would overflow VMEM at g > 1
+        return 1
+    budget = 10 * 1024 * 1024
+    best = 1
+    for g in range(1, h + 1):
+        if h % g or not (g % rep == 0 or rep % g == 0):
+            continue
+        kvg = max(1, g // rep)
+        vmem = ((2 * tq * g + 2 * sk_pad * kvg) * dh * itemsize
+                + tq * sk_pad * 4)  # q+o, k+v, one f32 score tile
+        if vmem <= budget:
+            best = g
+    return best
+
+
 def _run_forward(h, kv, dh, tq, tk, qf, kf, vf, bias, with_lse,
                  rope_flat=None):
     b, sq_pad, _ = qf.shape
@@ -194,30 +233,37 @@ def _run_forward(h, kv, dh, tq, tk, qf, kf, vf, bias, with_lse,
     rep = h // kv
     scale = dh ** -0.5
     with_rope = rope_flat is not None
+    g = _head_group(h, rep, dh, tq, sk_pad)
+    if h % g or not (g % rep == 0 or rep % g == 0):  # bad env override
+        g = 1
+    kvg = max(1, g // rep)
 
-    grid = (b, h, sq_pad // tq)
+    grid = (b, h // g, sq_pad // tq)
     kernel = functools.partial(_flash_kernel, scale=scale, tk=tk,
                                s_pad=sk_pad, with_lse=with_lse,
-                               with_rope=with_rope)
-    o_spec = pl.BlockSpec((1, tq, dh), lambda bi, hi, qi: (bi, qi, hi),
+                               with_rope=with_rope, g=g, rep=rep)
+    o_spec = pl.BlockSpec((1, tq, g * dh), lambda bi, hi, qi: (bi, qi, hi),
                           memory_space=pltpu.VMEM)
     out_specs, out_shape = o_spec, jax.ShapeDtypeStruct((b, sq_pad, h * dh), qf.dtype)
     if with_lse:
         # lse as [B*H, Sq, 1]: trailing (tq, 1) dims satisfy the tiling rule
-        # and each (b, h) program owns a distinct leading index.
+        # and each (b, head-group) program owns a distinct [g]-row leading
+        # slice.
         lse_spec = pl.BlockSpec(
-            (1, tq, 1), lambda bi, hi, qi, _h=h: (bi * _h + hi, qi, 0),
+            (g, tq, 1), lambda bi, hi, qi, _n=h // g: (bi * _n + hi, qi, 0),
             memory_space=pltpu.VMEM)
         out_specs = (o_spec, lse_spec)
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((b * h, sq_pad, 1), jnp.float32))
 
     in_specs = [
-        pl.BlockSpec((1, tq, dh), lambda bi, hi, qi: (bi, qi, hi),
+        pl.BlockSpec((1, tq, g * dh), lambda bi, hi, qi: (bi, qi, hi),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, sk_pad, dh), lambda bi, hi, qi: (bi, 0, hi // rep),
+        pl.BlockSpec((1, sk_pad, kvg * dh),
+                     lambda bi, hi, qi: (bi, 0, (hi * g) // (rep * kvg)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, sk_pad, dh), lambda bi, hi, qi: (bi, 0, hi // rep),
+        pl.BlockSpec((1, sk_pad, kvg * dh),
+                     lambda bi, hi, qi: (bi, 0, (hi * g) // (rep * kvg)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0),
                      memory_space=pltpu.VMEM),

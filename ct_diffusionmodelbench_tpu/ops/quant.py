@@ -2,7 +2,7 @@
 
 The reference serves every model in bf16 and splits models that don't fit
 one device across several with ``device_map="auto"`` (e.g.
-Pre-Trained/bench_models/llada.py:137-141 loads LLaDA-8B onto 2x GPUs).
+Inference/chat_finetuned.py:138-144 loads the finetuned LLaDA onto 2x GPUs).
 TPU-native alternative when only one chip is available: symmetric per-output-
 channel int8 weights.  LLaDA-8B at bf16 is ~16.3 GB — larger than one v5e's
 16 GB HBM — but 8.2 GB at int8, so the north-star model itself serves

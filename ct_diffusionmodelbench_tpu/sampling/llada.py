@@ -372,7 +372,12 @@ def make_llada_sampler(
 
 
 # Convenience one-shot API with a small compile cache keyed on shape class.
+# Bounded FIFO: identity-keyed entries from callers that rebuild their
+# forward/cached fns per call must not grow the dict without limit (each
+# entry pins a traced+compiled sampler).  make_cached_fns is memoized per
+# config (models/block_cache.py), so well-behaved callers always hit.
 _SAMPLER_CACHE: dict = {}
+_SAMPLER_CACHE_MAX = 64
 
 
 def llada_generate(
@@ -413,11 +418,15 @@ def llada_generate(
         parallel_threshold=parallel_threshold,
     )
     prompt_len = int(prompt_ids.shape[1])
-    cache_key = (id(forward_fn), id(cached_fns), dataclasses.astuple(sc),
+    fns_key = (None if cached_fns is None
+               else tuple(id(f) for f in cached_fns))
+    cache_key = (id(forward_fn), fns_key, dataclasses.astuple(sc),
                  prompt_len, prompt_ids.shape[0], attn_mask is not None)
     sampler = _SAMPLER_CACHE.get(cache_key)
     if sampler is None:
         sampler = make_llada_sampler(forward_fn, sc, prompt_len,
                                      cached_fns=cached_fns)
+        while len(_SAMPLER_CACHE) >= _SAMPLER_CACHE_MAX:
+            _SAMPLER_CACHE.pop(next(iter(_SAMPLER_CACHE)))
         _SAMPLER_CACHE[cache_key] = sampler
     return sampler(params, prompt_ids, attn_mask=attn_mask, key=key)

@@ -162,3 +162,37 @@ def test_dispatcher_rope_paths_agree(tiny_dense):
     pal = attention(q, k, v, impl="pallas", rope=(cos, sin))
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("g", [1, 2, 4, 8])
+def test_head_group_sizes_agree(monkeypatch, g):
+    """The head-grouped kernel (one program per g query heads — the short-S
+    dispatch-overhead amortization, VERDICT r3 item 5) is numerically
+    identical to per-head programs for every valid group size, GQA
+    included."""
+    monkeypatch.setenv("CTDB_FLASH_HEAD_GROUP", str(g))
+    q, k, v = _qkv(1, 160, 8, 2, 64, seed=11)
+    mask = (jax.random.uniform(jax.random.key(12), (1, 160)) > 0.2
+            ).astype(jnp.int32)
+    ours = flash_attention(q, k, v, mask, 128, 128)
+    ref = attention_reference(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_head_group_backward(monkeypatch):
+    """lse block layout under grouping feeds the backward correctly."""
+    monkeypatch.setenv("CTDB_FLASH_HEAD_GROUP", "4")
+    q, k, v = _qkv(1, 96, 4, 4, 32, seed=13)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, None, 64, 128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, None) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")

@@ -1,7 +1,7 @@
 """Weight-only int8 quantization (ops/quant.py).
 
 Replaces the reference's multi-GPU ``device_map="auto"`` fallback for
-models that overflow one device (Pre-Trained/bench_models/llada.py:137-141)
+models that overflow one device (Inference/chat_finetuned.py:138-144)
 with single-chip int8 serving; these tests pin the numerics contract:
 per-channel symmetric quantization, scale-commuting qdot, and end-to-end
 forwards/samplers on quantized trees.

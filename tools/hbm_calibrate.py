@@ -43,9 +43,13 @@ def main():
 
     @jax.jit
     def stream(x):
-        # i-dependence keeps XLA from folding the 16 multiplies into one.
+        # The update must be genuinely i-dependent — an algebraically
+        # foldable body (e.g. `c * (1 + i*0)`) risks the simplifier turning
+        # the loop into identity and DCE silently inflating the reported
+        # bandwidth (ADVICE r3).  `c + eps*(i%2)` still reads+writes the
+        # full array every iteration and cannot fold across iterations.
         def body(i, c):
-            return c * (jnp.bfloat16(1.0) + i.astype(jnp.bfloat16) * 0)
+            return c + (i % 2).astype(jnp.bfloat16) * jnp.bfloat16(1e-3)
         return jax.lax.fori_loop(0, ITERS, body, x).sum().astype(jnp.float32)
 
     ms = _while_ms(stream, x) / ITERS

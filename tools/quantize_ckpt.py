@@ -2,7 +2,7 @@
 serving checkpoint (quantize once on disk, serve many times).
 
 The reference serves bf16 and splits over-HBM models across GPUs with
-``device_map="auto"`` (Pre-Trained/bench_models/llada.py:137-141); the
+``device_map="auto"`` (Inference/chat_finetuned.py:138-144); the
 TPU-native single-chip alternative is weight-only int8 (ops/quant.py).
 Loading an int8 dir skips both the bf16 host→device transfer of the big
 tree and the on-load quantization pass; `ModelRunner.from_dir` (and every
