@@ -53,6 +53,35 @@ def forward_process(
     return noisy_batch, masked_indices, p_mask
 
 
+def _chunked_ce(head_fn, params, hidden, input_ids, chunk):
+    """(lse, target_logit), both [B, L] f32, computed ``chunk`` sequence
+    positions at a time.
+
+    At V≈157k the full [B, L, V] f32 logits tensor plus its backward
+    cotangent (~2.6 GB at B=1, L=2048) are the train step's largest live
+    buffers; per-token CE only ever needs two scalars, so the head matmul +
+    logsumexp run under ``jax.checkpoint`` inside a serial ``lax.map`` —
+    live logits shrink to [B, chunk, V] in both passes.  Per-token math is
+    IDENTICAL to the unchunked path (same f32 head matmul and row-wise
+    logsumexp), so losses and gradients match to float round-off."""
+    b, l, d = hidden.shape
+    nc = l // chunk
+    hs = jnp.swapaxes(hidden.reshape(b, nc, chunk, d), 0, 1)   # [nc,B,C,D]
+    ids = jnp.swapaxes(input_ids.reshape(b, nc, chunk), 0, 1)  # [nc,B,C]
+
+    @jax.checkpoint
+    def one(xs):
+        h_c, id_c = xs
+        logits = head_fn(params, h_c).astype(jnp.float32)      # [B,C,V]
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tl = jnp.take_along_axis(logits, id_c[..., None], axis=-1)[..., 0]
+        return lse, tl
+
+    lse, tl = jax.lax.map(one, (hs, ids))                      # [nc,B,C]
+    return (jnp.swapaxes(lse, 0, 1).reshape(b, l),
+            jnp.swapaxes(tl, 0, 1).reshape(b, l))
+
+
 def diffusion_sft_loss(
     forward_fn: Callable,
     params,
@@ -65,6 +94,8 @@ def diffusion_sft_loss(
     attn_mask: Optional[jnp.ndarray] = None,
     mask_variant: str = "recompute",
     row_mask: Optional[jnp.ndarray] = None,
+    head_fn: Optional[Callable] = None,
+    ce_chunk: int = 0,
 ):
     """Scalar loss + metrics dict.
 
@@ -78,7 +109,14 @@ def diffusion_sft_loss(
     fixed batch size so mesh placement stays deterministic and the jitted
     step never recompiles per tail shape; pad rows carry 0 and drop out of
     the loss exactly (the divisor becomes sum(row_mask), which equals B for
-    an all-real batch — bit-identical to the unpadded computation)."""
+    an all-real batch — bit-identical to the unpadded computation).
+
+    ``head_fn`` + ``ce_chunk``: chunked cross-entropy.  ``forward_fn`` must
+    then accept a 4th positional ``return_hidden`` flag and return FINAL
+    HIDDEN STATES when it is True (make_forward_fn's ``return_hidden``);
+    ``head_fn(params, hidden_chunk)`` maps a chunk to its logits; per-token
+    math is unchanged (see :func:`_chunked_ce`).  Used automatically by the
+    trainer when L % ce_chunk == 0."""
     if mask_variant not in ("recompute", "pre_restore"):
         raise ValueError(f"unknown mask_variant {mask_variant!r}")
     b, l = input_ids.shape
@@ -92,8 +130,16 @@ def diffusion_sft_loss(
 
     answer_lengths = jnp.maximum(l - prompt_lengths, 1).astype(jnp.float32)  # [B]
 
-    logits, aux = forward_fn(params, noisy, attn_mask)
-    logits = logits.astype(jnp.float32)
+    if head_fn is not None and ce_chunk and l % ce_chunk == 0:
+        hidden, aux = forward_fn(params, noisy, attn_mask, True)
+        lse, target_logit = _chunked_ce(head_fn, params, hidden,
+                                        input_ids, ce_chunk)
+    else:
+        logits, aux = forward_fn(params, noisy, attn_mask)
+        logits = logits.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        target_logit = jnp.take_along_axis(
+            logits, input_ids[..., None], axis=-1)[..., 0]
 
     if mask_variant == "pre_restore":
         # Training_1kto21k/train.py:331-339 semantics (see module docstring).
@@ -102,9 +148,6 @@ def diffusion_sft_loss(
         # Recompute the mask from the noised batch (train.py:294-295) —
         # positions whose original token *is* mask_id drop out identically.
         masked = (noisy == mask_id) & (input_ids != mask_id)
-
-    lse = jax.scipy.special.logsumexp(logits, axis=-1)
-    target_logit = jnp.take_along_axis(logits, input_ids[..., None], axis=-1)[..., 0]
     token_loss = lse - target_logit                                   # CE, [B, L]
     token_loss = jnp.nan_to_num(token_loss, nan=0.0, posinf=10.0, neginf=0.0)
     token_loss = token_loss / p_mask / answer_lengths[:, None]

@@ -28,6 +28,13 @@ import jax.numpy as jnp
 import optax
 
 QUANT_BLOCK = 256
+# Chunked int8 update: rows of the [Nb, QUANT_BLOCK] quantized layout
+# processed per lax.map step.  32768 rows = 32 MB of f32 per temp.  Without
+# chunking, the update dequantizes BOTH moments of a leaf to full f32 —
+# measured 3x 1.75 GB live temps on a llada-moe-7b 4-layer expert stack,
+# the allocation that (not the CE) capped single-chip MoE SFT at 2 layers
+# in round 3 (the OOM dump names optim.py's mu/nu lines).
+CHUNK_ROWS = 32768
 
 
 class Quantized(NamedTuple):
@@ -102,14 +109,73 @@ def scale_by_adam_lowp(
     def update_fn(updates, state, params=None):
         del params
         count = optax.safe_increment(state.count)
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def adam_math(g32, mu_prev, nu_prev):
+            # Shared by the plain and chunked paths — identical op order;
+            # results agree to one ulp (XLA may fuse/FMA the elementwise
+            # chains differently per context), pinned by
+            # tests/test_train.py::test_int8_adam_chunked_update_matches.
+            mu = b1 * mu_prev + (1.0 - b1) * g32
+            nu = b2 * nu_prev + (1.0 - b2) * g32 * g32
+            mu_hat = mu / c1
+            nu_hat = nu / c2
+            upd = mu_hat / (jnp.sqrt(nu_hat) + eps)
+            return upd, mu, nu
+
+        def leaf_int8_chunked(g, mu_q, nu_q):
+            """Int8 leaf update in the quantized [Nb, B] layout, CHUNK_ROWS
+            rows per lax.map step: per-step f32 temps are chunk-sized
+            instead of leaf-sized, and the requantization blocks are the
+            exact rows quantize_int8 uses — same math, ulp-equal results."""
+            shape, n = g.shape, g.size
+            pad = (-n) % QUANT_BLOCK
+            rows_g = jnp.pad(g.reshape(-1), (0, pad)).reshape(-1, QUANT_BLOCK)
+            nb = rows_g.shape[0]
+            rpad = (-nb) % CHUNK_ROWS
+            nc = (nb + rpad) // CHUNK_ROWS
+
+            def rows(x, w):
+                return jnp.pad(x, ((0, rpad), (0, 0))).reshape(nc, CHUNK_ROWS, w)
+
+            def one(args):
+                gc, qm, sm, qn, sn = args
+                upd, mu, nu = adam_math(gc.astype(jnp.float32),
+                                        qm.astype(jnp.float32) * sm,
+                                        qn.astype(jnp.float32) * sn)
+
+                def quant(x):
+                    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+                    s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+                    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+                    return q, s
+
+                qm2, sm2 = quant(mu)
+                qn2, sn2 = quant(nu)
+                return upd, qm2, sm2, qn2, sn2
+
+            upd, qm, sm, qn, sn = jax.lax.map(
+                one, (rows(rows_g, QUANT_BLOCK),
+                      rows(mu_q.q, QUANT_BLOCK), rows(mu_q.scale, 1),
+                      rows(nu_q.q, QUANT_BLOCK), rows(nu_q.scale, 1)))
+
+            def unrows(x, w):
+                return x.reshape(-1, w)[:nb]
+
+            upd = upd.reshape(-1)[:n].reshape(shape)
+            new_mu = Quantized(q=unrows(qm, QUANT_BLOCK),
+                               scale=unrows(sm, 1), meta=mu_q.meta)
+            new_nu = Quantized(q=unrows(qn, QUANT_BLOCK),
+                               scale=unrows(sn, 1), meta=nu_q.meta)
+            return upd, new_mu, new_nu
 
         def leaf(g, mu_q, nu_q):
-            g = g.astype(jnp.float32)
-            mu = b1 * _decode(mu_q, state_dtype) + (1.0 - b1) * g
-            nu = b2 * _decode(nu_q, state_dtype) + (1.0 - b2) * g * g
-            mu_hat = mu / (1.0 - b1 ** count.astype(jnp.float32))
-            nu_hat = nu / (1.0 - b2 ** count.astype(jnp.float32))
-            upd = mu_hat / (jnp.sqrt(nu_hat) + eps)
+            if state_dtype == "int8" and g.size > CHUNK_ROWS * QUANT_BLOCK:
+                return leaf_int8_chunked(g, mu_q, nu_q)
+            upd, mu, nu = adam_math(g.astype(jnp.float32),
+                                    _decode(mu_q, state_dtype),
+                                    _decode(nu_q, state_dtype))
             return upd, _encode(mu, state_dtype), _encode(nu, state_dtype)
 
         flat_g, treedef = jax.tree.flatten(updates)

@@ -88,6 +88,15 @@ class TrainConfig:
     # False | True (full per-block remat) | 'dots' (save matmul
     # outputs, recompute elementwise/norm only - faster, more memory)
     remat: "bool | str" = False
+    # Chunked cross-entropy: compute the LM head + logsumexp ``ce_chunk``
+    # sequence positions at a time under jax.checkpoint (0 = whole-sequence
+    # logits).  At V≈157k the [B, L, V] f32 logits + backward cotangent are
+    # the step's largest live buffers (~2.6 GB at B=1, L=2048) — chunking
+    # cuts that ~L/chunk x with bit-identical per-token math
+    # (train/diffusion_loss.py _chunked_ce).  Applied only when
+    # max_length % ce_chunk == 0; raises the deepest-MoE-that-trains
+    # ceiling on one chip.
+    ce_chunk: int = 256
     drop_last: bool = True
     # Mesh axes (dp*tp*sp > 1 shards the run: batch over 'data', params
     # megatron-style over 'model', sequence over 'seq' via ring attention).
@@ -152,6 +161,7 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                     optimizer: optax.GradientTransformation,
                     forward_fn: Optional[Callable] = None):
     """Jitted step over a [A, B, L] microbatch stack (A = grad_accum)."""
+    own_forward = forward_fn is None
     if forward_fn is None:
         # Training defaults to the jnp reference attention: XLA's fused
         # whole-graph backward beats the Pallas fwd+bwd kernels at the
@@ -165,13 +175,27 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     if mask_id is None:
         raise ValueError("model config needs mask_token_id for diffusion SFT")
 
+    # Chunked CE needs the forward to expose return_hidden — only the
+    # trainer-built make_forward_fn guarantees that; a caller-supplied
+    # forward (e.g. the pipeline-parallel wrapper) keeps the logits path.
+    if own_forward and train_cfg.ce_chunk:
+        from ct_diffusionmodelbench_tpu.models.transformer import (
+            lm_head_logits)
+        fwd = lambda p, ids, m, rh=False: forward_fn(  # noqa: E731
+            p, ids, m, return_hidden=rh)
+        ce_kw = dict(head_fn=lm_head_logits, ce_chunk=train_cfg.ce_chunk)
+    else:
+        fwd = lambda p, ids, m: forward_fn(p, ids, m)  # noqa: E731
+        ce_kw = {}
+
     def loss_fn(params, input_ids, prompt_lengths, key, row_mask=None):
         return diffusion_sft_loss(
-            lambda p, ids, m: forward_fn(p, ids, m),
+            fwd,
             params, input_ids, prompt_lengths, mask_id, key,
             aux_coef=train_cfg.aux_loss_coef if model_cfg.is_moe else 0.0,
             mask_variant=train_cfg.mask_variant,
             row_mask=row_mask,
+            **ce_kw,
         )
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -537,3 +537,107 @@ def test_remat_policies_match_no_remat():
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(results[name][1], results["False"][1],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_ce_matches_unchunked(tiny_dense):
+    """Chunked cross-entropy (train/diffusion_loss.py _chunked_ce) is the
+    same per-token math as whole-sequence logits: loss AND grads match to
+    float round-off for any chunk size dividing L."""
+    from ct_diffusionmodelbench_tpu.models.transformer import lm_head_logits
+
+    cfg, params, fwd = tiny_dense
+    ids = jax.random.randint(jax.random.key(7), (2, 32), 3, cfg.vocab_size - 2)
+    plens = jnp.array([4, 9])
+    key = jax.random.key(8)
+
+    def loss_plain(p):
+        return diffusion_sft_loss(
+            lambda pp, i, m: fwd(pp, i, m), p, ids, plens, MASK, key)[0]
+
+    def loss_chunked(p, chunk):
+        return diffusion_sft_loss(
+            lambda pp, i, m, rh=False: fwd(pp, i, m, return_hidden=rh),
+            p, ids, plens, MASK, key,
+            head_fn=lm_head_logits, ce_chunk=chunk)[0]
+
+    l0, g0 = jax.value_and_grad(loss_plain)(params)
+    for chunk in (8, 16, 32):
+        l1, g1 = jax.value_and_grad(lambda p: loss_chunked(p, chunk))(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+    # Non-dividing chunk falls back to the plain path (same numbers).
+    l2 = loss_chunked(params, 7)
+    np.testing.assert_allclose(float(l0), float(l2), rtol=1e-6)
+
+
+def test_train_step_ce_chunk_matches_disabled(tmp_path):
+    """One jitted train step with ce_chunk on vs off produces the same loss
+    and parameter update (TrainConfig.ce_chunk wiring)."""
+    import copy
+
+    from ct_diffusionmodelbench_tpu.train.trainer import (
+        TrainConfig, make_optimizer, make_train_step)
+
+    cfg = get_config("llada-tiny", dtype="float32").replace(pad_token_id=0)
+    params = init_params(cfg, jax.random.key(0))
+    ids = jax.random.randint(jax.random.key(1), (2, 1, 32), 3,
+                             cfg.vocab_size - 2)
+    plens = jnp.full((2, 1), 4, jnp.int32)
+    key = jax.random.key(2)
+
+    outs = []
+    for chunk in (0, 8):
+        tcfg = TrainConfig(grad_accum=2, batch_size=1, max_length=32,
+                           ce_chunk=chunk, donate_state=False)
+        opt, _ = make_optimizer(tcfg, total_steps=10)
+        p0 = copy.deepcopy(params)
+        step, _ = make_train_step(cfg, tcfg, opt)
+        p1, _, m = step(p0, opt.init(p0), ids, plens, key)
+        outs.append((float(m["loss"]), p1))
+    assert np.isclose(outs[0][0], outs[1][0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_int8_adam_chunked_update_matches(monkeypatch):
+    """The chunked int8 Adam path (optim.py leaf_int8_chunked — per-
+    CHUNK_ROWS lax.map over the quantized layout) runs the same math as
+    the whole-leaf path; results agree to one ulp (XLA fuses the
+    elementwise chains differently per context — FMA/reassociation)."""
+    from ct_diffusionmodelbench_tpu.train import optim as optim_mod
+    from ct_diffusionmodelbench_tpu.train.optim import adamw_lowp
+
+    params = {"w": jax.random.normal(jax.random.key(0), (70, 37)),
+              "b": jax.random.normal(jax.random.key(1), (13,))}
+
+    def run():
+        opt = adamw_lowp(1e-2, weight_decay=0.01, state_dtype="int8")
+        state = opt.init(params)
+        p = params
+        outs = []
+        for i in range(4):
+            g = jax.tree.map(
+                lambda x, i=i: 0.1 * x + 0.01 * i, p)
+            upd, state = opt.update(g, state, p)
+            import optax
+            p = optax.apply_updates(p, upd)
+            outs.append(p)
+        return outs, state
+
+    plain, st_plain = run()
+    # w has 70*37 = 2590 elements > CHUNK_ROWS*QUANT_BLOCK = 2*256 = 512:
+    # chunked path engages for w (with a padded tail row), not for b.
+    monkeypatch.setattr(optim_mod, "CHUNK_ROWS", 2)
+    chunked, st_chunk = run()
+    for a, b in zip(jax.tree.leaves(plain[-1]), jax.tree.leaves(chunked[-1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(st_plain), jax.tree.leaves(st_chunk)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int8:
+            assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+        else:
+            np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)

@@ -1,14 +1,27 @@
-"""On-chip attribution + remat-variant sweep for the SFT train step.
+"""On-chip attribution + variant sweep for the SFT train step (VERDICT r3
+item 6: decompose where the non-MXU ~70% of a train step goes, the same way
+the MoE serving layer was decomposed).
 
 Wall-clock on the shared axon pool is contention-noisy; the device plane's
 per-op durations stay valid (CLAUDE.md), so this profiles one jitted train
-step (grad-accum microbatch scan + optimizer update) and buckets the XLA-Ops
-line into: matmul/conv fusions, Pallas custom calls, optimizer-ish
-elementwise, and the rest — then sweeps remat = True / "dots" / False for
-wall + on-chip totals.
+step (grad-accum microbatch scan + optimizer update) and decomposes it by
+EVENT INTERVALS — the grad-accum scan is one `while` event whose children
+overlap it, so flat per-op sums double-count; instead every leaf event is
+classified by whether it falls inside the while span:
 
-Usage: python tools/xprof_train.py [--layers 6] [--accum 4] [--seq 2048]
-       [--variants full,dots,none]
+  scan_matmul   — dot/conv fusions inside the scan (fwd+bwd model math)
+  scan_pallas   — Pallas custom-calls inside the scan (flash attention, ...)
+  scan_other    — everything else inside the scan (elementwise, remat
+                  recompute glue, loss, copies)
+  epilogue      — everything after the scan (grad clip + Adam update)
+  device_gap    — program span minus device-busy union (DMA stalls /
+                  scheduling bubbles visible on-chip)
+
+Sweeps remat variants and microbatch shapes for wall + on-chip totals.
+
+Usage: python tools/xprof_train.py [--layers 6] [--accum 4] [--batch 1]
+       [--seq 2048] [--variants full,dots,none] [--model llada-2b]
+       [--opt-dtype float32]
 """
 
 import argparse
@@ -23,36 +36,117 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from xprof_ffn import collect_xspace, device_op_totals  # noqa: E402
+from xprof_ffn import collect_xspace  # noqa: E402
 
 
-def build_step(remat, layers, seq, accum):
+def build_step(remat, layers, seq, accum, batch, model, opt_dtype):
     import jax
+    import jax.numpy as jnp
 
     from ct_diffusionmodelbench_tpu.models import get_config, init_params
     from ct_diffusionmodelbench_tpu.train.trainer import (
         TrainConfig, make_optimizer, make_train_step)
 
-    cfg = get_config("llada-2b").replace(num_layers=layers)
-    tcfg = TrainConfig(learning_rate=5e-5, grad_accum=accum, batch_size=1,
-                       max_length=seq, remat=remat)
+    cfg = get_config(model).replace(num_layers=layers)
+    tcfg = TrainConfig(learning_rate=5e-5, grad_accum=accum,
+                       batch_size=batch, max_length=seq, remat=remat,
+                       optimizer_state_dtype=opt_dtype,
+                       grad_accum_dtype=("bfloat16" if opt_dtype == "int8"
+                                         else "float32"))
     params = init_params(cfg, jax.random.key(0))
     jax.block_until_ready(params)
     optimizer, _ = make_optimizer(tcfg, total_steps=100)
     opt_state = optimizer.init(params)
     step, _ = make_train_step(cfg, tcfg, optimizer)
-    ids = jax.random.randint(jax.random.key(1), (accum, 1, seq), 10,
+    ids = jax.random.randint(jax.random.key(1), (accum, batch, seq), 10,
                              min(100_000, cfg.vocab_size - 10))
-    import jax.numpy as jnp
-    plens = jnp.full((accum, 1), 64, jnp.int32)
+    plens = jnp.full((accum, batch), 64, jnp.int32)
     return cfg, step, params, opt_state, ids, plens
 
 
-def run_variant(remat, layers, seq, accum, reps=3):
+def device_events(xs):
+    """[(start_ps, dur_ps, name)] for every XLA-Ops event on the TPU plane."""
+    out = []
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        meta = {k: v.name for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            base = line.timestamp_ns * 1000
+            for ev in line.events:
+                out.append((base + ev.offset_ps, ev.duration_ps,
+                            meta.get(ev.metadata_id, str(ev.metadata_id))))
+    return out
+
+
+def union_ms(intervals):
+    if not intervals:
+        return 0.0
+    ivs = sorted(intervals)
+    busy = 0
+    cs, ce = ivs[0]
+    for s, e in ivs[1:]:
+        if s > ce:
+            busy += ce - cs
+            cs, ce = s, e
+        else:
+            ce = max(ce, e)
+    busy += ce - cs
+    return busy / 1e9
+
+
+def decompose(events):
+    """Interval-based buckets (ms).  The largest `while` is the grad-accum
+    scan; leaves inside it are the model math, leaves outside are the
+    optimizer epilogue; the whole-program union vs span gives the on-chip
+    gap."""
+    whiles = [(s, d, n) for s, d, n in events
+              if n.lstrip("%").startswith("while")]
+    scan_s, scan_d = (0, 0)
+    if whiles:
+        scan_s, scan_d, _ = max(whiles, key=lambda t: t[1])
+    scan_e = scan_s + scan_d
+    leaves = [(s, d, n) for s, d, n in events
+              if not n.lstrip("%").startswith("while")]
+    buckets = {"scan_matmul": 0.0, "scan_pallas": 0.0, "scan_other": 0.0,
+               "epilogue": 0.0}
+    top_scan, top_epi = {}, {}
+    for s, d, n in leaves:
+        mid = s + d // 2
+        low = n.lower()
+        inside = scan_s <= mid < scan_e
+        if inside:
+            if "custom-call" in low:
+                buckets["scan_pallas"] += d / 1e9
+            elif "fusion" in low and ("dot" in low or "convolution" in low):
+                buckets["scan_matmul"] += d / 1e9
+            else:
+                buckets["scan_other"] += d / 1e9
+            top_scan[n] = top_scan.get(n, 0.0) + d / 1e9
+        else:
+            buckets["epilogue"] += d / 1e9
+            top_epi[n] = top_epi.get(n, 0.0) + d / 1e9
+    all_iv = [(s, s + d) for s, d, _ in events]
+    span = (max(e for _, e in all_iv) - min(s for s, _ in all_iv)) / 1e9
+    busy = union_ms([(s, s + d) for s, d, _ in leaves] or all_iv)
+    buckets["device_gap"] = max(0.0, span - busy)
+    buckets["program_span"] = span
+    tops = {
+        "scan": sorted(((round(v, 3), k[:90]) for k, v in top_scan.items()),
+                       reverse=True)[:8],
+        "epilogue": sorted(((round(v, 3), k[:90]) for k, v in top_epi.items()),
+                           reverse=True)[:8],
+    }
+    return buckets, tops
+
+
+def run_variant(remat, layers, seq, accum, batch, model, opt_dtype, reps=3):
     import jax
 
     cfg, step, params, opt_state, ids, plens = build_step(
-        remat, layers, seq, accum)
+        remat, layers, seq, accum, batch, model, opt_dtype)
     key = jax.random.key(2)
     params, opt_state, m = step(params, opt_state, ids, plens, key)
     np.asarray(m["loss"])  # compile + warm
@@ -70,34 +164,25 @@ def run_variant(remat, layers, seq, accum, reps=3):
         params, opt_state, m = step(params, opt_state, ids, plens, key)
         np.asarray(m["loss"])
 
-    totals = device_op_totals(collect_xspace(trace_dir))
-    buckets = {"pallas": 0.0, "matmul_fusion": 0.0, "loop_wrapper": 0.0,
-               "other": 0.0}
-    top = []
-    for (line, name), (ms, _) in totals.items():
-        if line != "XLA Ops":
-            continue
-        low = name.lower()
-        if "custom-call" in low:
-            buckets["pallas"] += ms
-        elif low.startswith("%while"):
-            buckets["loop_wrapper"] += ms
-        elif "fusion" in low and ("dot" in low or "convolution" in low):
-            buckets["matmul_fusion"] += ms
-        else:
-            buckets["other"] += ms
-        top.append((round(ms, 3), name[:90]))
-    onchip = sum(buckets.values())
+    events = device_events(collect_xspace(trace_dir))
+    buckets, tops = decompose(events)
     nparams = sum(x.size for x in jax.tree.leaves(params))
-    flops = 6 * nparams * accum * seq
+    flops = 6 * cfg.active_param_count() * accum * batch * seq
+    from bench import chip_peak_tflops
+    peak = chip_peak_tflops()[1] * 1e12
+    span = buckets["program_span"] / 1e3  # s
     del params, opt_state
     return {
-        "remat": str(remat), "layers": layers, "seq": seq, "accum": accum,
+        "remat": str(remat), "layers": layers, "seq": seq,
+        "accum": accum, "microbatch": batch, "model": model,
+        "opt_dtype": opt_dtype,
+        "params_total_b": round(nparams / 1e9, 3),
         "wall_s_per_step": round(wall, 3),
-        "onchip_ms": round(onchip, 2),
-        "train_mfu_wall": round(flops / wall / 197e12, 4),
+        "onchip_s_per_step": round(span, 3),
+        "train_mfu_wall": round(flops / wall / peak, 4),
+        "train_mfu_onchip": round(flops / span / peak, 4) if span else None,
         "buckets_ms": {k: round(v, 2) for k, v in buckets.items()},
-        "top_ops": sorted(top, reverse=True)[:10],
+        "top_ops": tops,
     }
 
 
@@ -105,7 +190,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=6)
     ap.add_argument("--accum", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--seq", type=int, default=2048)
+    ap.add_argument("--model", type=str, default="llada-2b")
+    ap.add_argument("--opt-dtype", type=str, default="float32")
     ap.add_argument("--variants", type=str, default="full,dots,none")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -115,7 +203,8 @@ def main():
     for v in args.variants.split(","):
         try:
             row = run_variant(name_to_remat[v], args.layers, args.seq,
-                              args.accum, reps=args.reps)
+                              args.accum, args.batch, args.model,
+                              args.opt_dtype, reps=args.reps)
         except Exception as e:
             row = {"remat": v,
                    "error": f"{type(e).__name__}: {str(e)[:200]}"}
