@@ -129,37 +129,45 @@ def bench_dream():
 
 
 def bench_attention_crossover():
-    """Pallas flash vs XLA reference at the 8B head geometry (32 heads,
-    d_head 128), batch 1, bf16 — the serving shape.
+    """Pallas flash (round-4 head-grouped kernel) vs XLA reference at the
+    8B head geometry (32 heads, d_head 128), bf16, batch 1 AND batch 8 —
+    single-sample latency and the batched serving shape.
 
     Both paths time ROPE + ATTENTION (what the model block actually runs):
     XLA fuses the rotation into its attention fusion, the Pallas path fuses
-    it in-kernel via the ``rope=`` argument (VERDICT r2 weak 3)."""
+    it in-kernel via the ``rope=`` argument (VERDICT r2 weak 3).  The
+    auto-dispatch rule derived from this table is work-based:
+    pallas iff B*H*S^2 >= 24e6 (ops/attention.py)."""
     from ct_diffusionmodelbench_tpu.models.layers import rope_angles
     from ct_diffusionmodelbench_tpu.ops.attention import attention
 
     rows = []
-    for S in (320, 512, 1024, 2048, 4096):
-        q, k, v = (jax.random.normal(jax.random.key(i), (1, S, 32, 128),
-                                     jnp.bfloat16) for i in range(3))
-        pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (1, S))
-        cos, sin = rope_angles(pos, 128, 500000.0)
-        iters = max(4, 2048 // max(S // 512, 1))
-        t_ref = time_loop(
-            lambda q_, k_, v_: attention(q_, k_, v_, impl="reference",
-                                         rope=(cos, sin)),
-            (q, k, v), iters=iters)
-        t_pal = time_loop(
-            lambda q_, k_, v_: attention(q_, k_, v_, impl="pallas",
-                                         rope=(cos, sin)),
-            (q, k, v), iters=iters)
-        rows.append({
-            "seq_len": S,
-            "includes_rope": True,
-            "xla_reference_ms": round(t_ref * 1e3, 3),
-            "pallas_flash_ms": round(t_pal * 1e3, 3),
-            "pallas_speedup": round(t_ref / t_pal, 2),
-        })
+    for B, seqs in ((1, (320, 512, 1024, 2048, 4096)),
+                    (8, (320, 512, 1024))):
+        for S in seqs:
+            q, k, v = (jax.random.normal(jax.random.key(i), (B, S, 32, 128),
+                                         jnp.bfloat16) for i in range(3))
+            pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None],
+                                   (B, S))
+            cos, sin = rope_angles(pos, 128, 500000.0)
+            iters = max(4, 2048 // max(B * S // 512, 1))
+            t_ref = time_loop(
+                lambda q_, k_, v_: attention(q_, k_, v_, impl="reference",
+                                             rope=(cos, sin)),
+                (q, k, v), iters=iters)
+            t_pal = time_loop(
+                lambda q_, k_, v_: attention(q_, k_, v_, impl="pallas",
+                                             rope=(cos, sin)),
+                (q, k, v), iters=iters)
+            rows.append({
+                "batch": B,
+                "seq_len": S,
+                "includes_rope": True,
+                "score_work_bhs2": B * 32 * S * S,
+                "xla_reference_ms": round(t_ref * 1e3, 3),
+                "pallas_flash_ms": round(t_pal * 1e3, 3),
+                "pallas_speedup": round(t_ref / t_pal, 2),
+            })
     return rows
 
 
@@ -351,7 +359,10 @@ def _bench_sft_moe_subprocess():
     import sys
 
     last = None
-    for layers in (4, 3, 2):
+    # Descend from the deepest plausible stack; chunked CE (TrainConfig
+    # ce_chunk, round 4) removed the [L, V] f32 logits+cotangent peak that
+    # stopped round 3 at 2 layers.
+    for layers in (6, 5, 4, 3, 2):
         env = dict(os.environ, CTDB_BENCH_MOE_LAYERS=str(layers))
         run = subprocess.run(
             [sys.executable, __file__, "--only", "sft_train_step_moe"],

@@ -122,20 +122,20 @@ def attention(
                 qr, kr = roped()
                 return ring_attention(qr, kr, v, mask=mask, mesh=mesh)
     if impl == "auto":
-        # Measured crossover on v5e at the 8B head geometry with RoPE fused
-        # in-kernel (PERF.json attention_crossover; round-4 head-grouped
-        # kernel A/B, tools/flash_group_ab.py): XLA's fused attention wins
-        # only while the whole problem stays small — its cost blows up
-        # super-linearly past ~2k total rows (b4/S512 0.454 ms vs b2/S512
-        # 0.105) and quadratically in S from 1024.  The head-grouped flash
-        # kernel wins at S>=1024 for any batch (1.47x..3.3x), S>=512 from
-        # batch 4 (1.71x), and S>=320 from batch 8 (1.18x) — which covers
-        # the batched serving headline (prompt 64 + gen 256).  Single-sample
-        # short-S latency stays on XLA.  Override with impl= or
-        # cfg.attn_impl.
-        b, s = q.shape[0], q.shape[1]
-        wins = s >= 1024 or (s >= 512 and b >= 4) or (s >= 320 and b >= 8)
-        impl = "pallas" if _on_tpu() and wins else "reference"
+        # Measured crossover on v5e with RoPE fused in-kernel
+        # (tools/flash_group_ab.py, round-4 head-grouped kernel): the win
+        # boundary collapses onto ONE variable, the total score-matrix work
+        # B*H*S^2.  Measured at both 32-head and 16-head geometries across
+        # batch 1..8 and S 320..4096: every configuration at or above
+        # 2.62e7 elements wins for Pallas (1.18x..3.3x — e.g. b8/h32/S320
+        # 1.18x, b4/h32/S512 == b8/h16/S512 1.7x, b1/h32/S1024 1.47x),
+        # every one at or below 1.68e7 wins for XLA (whose fused attention
+        # degrades super-linearly once the problem leaves its small-buffer
+        # regime).  Threshold set in the measured gap.  Override with
+        # impl= or cfg.attn_impl.
+        b, s, h = q.shape[0], q.shape[1], q.shape[2]
+        impl = ("pallas" if _on_tpu() and b * h * s * s >= 24e6
+                else "reference")
     if causal:
         impl = "reference"
     if impl == "pallas":

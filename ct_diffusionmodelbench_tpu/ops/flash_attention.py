@@ -214,6 +214,13 @@ def _head_group(h, rep, dh, tq, sk_pad, itemsize=2):
         # k/v blocks would overflow VMEM at g > 1
         return 1
     budget = 10 * 1024 * 1024
+    # The unrolled head loop appears to hold each head's f32 score tile as
+    # a distinct VMEM allocation: (tq=512, g=16) — unrolled scores 16.8 MB,
+    # just past the 16 MB core — reproducibly fails Mosaic compile while
+    # every config at or below ~12 MB of unrolled scores compiles and runs
+    # (empirical, tools/flash_group_ab.py; the remote compile service only
+    # reports HTTP 500).  Cap both terms.
+    scores_budget = 12 * 1024 * 1024
     best = 1
     for g in range(1, h + 1):
         if h % g or not (g % rep == 0 or rep % g == 0):
@@ -221,7 +228,7 @@ def _head_group(h, rep, dh, tq, sk_pad, itemsize=2):
         kvg = max(1, g // rep)
         vmem = ((2 * tq * g + 2 * sk_pad * kvg) * dh * itemsize
                 + tq * sk_pad * 4)  # q+o, k+v, one f32 score tile
-        if vmem <= budget:
+        if vmem <= budget and g * tq * sk_pad * 4 <= scores_budget:
             best = g
     return best
 
@@ -283,12 +290,26 @@ def _run_forward(h, kv, dh, tq, tk, qf, kf, vf, bias, with_lse,
         ]
         operands += list(rope_flat)
 
+    # Scoped-VMEM limit: the default 16 MB rejects head-grouped configs
+    # whose unrolled per-head f32 score tiles stack up (measured: g=16 at
+    # S=320 without rope needs 19.5 MB).  Budget what the kernel actually
+    # uses — pipelined in/out blocks (x3 for double-buffering), the
+    # unrolled score tiles, rope tables — plus margin; deliberately NOT a
+    # blanket high limit, which would starve the surrounding ops' memory-
+    # space assignment (see grouped_gemm_pallas.py's measured note).
+    it = qf.dtype.itemsize
+    blocks = (2 * tq * g + 2 * sk_pad * kvg) * dh * it + sk_pad * 4
+    if with_rope:
+        blocks += (2 * tq + 2 * sk_pad) * (dh // 2) * 4
+    scores = g * tq * sk_pad * 4
+    vmem_limit = min(3 * blocks + scores + (6 << 20), 100 << 20)
     result = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq_pad * sk_pad * dh,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,

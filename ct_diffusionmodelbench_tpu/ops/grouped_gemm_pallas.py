@@ -467,6 +467,10 @@ def grouped_expert_ffn_pallas(
     manual = os.environ.get("CTDB_GROUPED_MANUAL", "1")
     if not aligned:
         manual = "0"
+    # Sub-tiles per grid step in the manual kernels (A/B knob; the layout
+    # and weight-DMA schedule stay at tile_m granularity — only the per-
+    # grid-step pipeline overhead amortizes; see _gateup_manual_kernel).
+    nsub = int(os.environ.get("CTDB_GROUPED_NSUB", "1"))
     if fused:
         out_padded = grouped_ffn_fused_padded(
             xs_padded, we_gate, we_up, we_down, tile_expert, tile_m,
@@ -475,7 +479,7 @@ def grouped_expert_ffn_pallas(
         if manual in ("1", "gateup"):
             h = grouped_gateup_manual(xs_padded, we_gate, we_up, tile_expert,
                                       tile_m, layer_index=layer_index,
-                                      tile_valid=tile_valid)
+                                      tile_valid=tile_valid, nsub=nsub)
         else:
             h = grouped_gateup_padded(xs_padded, we_gate, we_up, tile_expert,
                                       tile_m, layer_index=layer_index)
@@ -483,7 +487,8 @@ def grouped_expert_ffn_pallas(
             out_padded = grouped_matmul_manual(h, we_down, tile_expert,
                                                tile_m,
                                                layer_index=layer_index,
-                                               tile_valid=tile_valid)
+                                               tile_valid=tile_valid,
+                                               nsub=nsub)
         else:
             out_padded = grouped_matmul_padded(h, we_down, tile_expert,
                                                tile_m,
@@ -731,7 +736,16 @@ def grouped_ffn_fused_padded(
 # are requested two runs ahead, so a whole run's compute hides the fetch.
 
 
-def _gateup_manual_kernel(*refs, stacked: bool):
+def _gateup_manual_kernel(*refs, stacked: bool, nsub: int = 1):
+    # ``nsub``: layout tiles processed per grid step.  The run schedule,
+    # weight DMA, and pad reserve all stay at tile_m granularity (each
+    # sub-tile keeps its own slot/start/wait logic); only the grid-step
+    # count — and with it the per-step pipeline overhead Mosaic charges for
+    # the x/h block orchestration — shrinks by nsub.  Motivation: single-
+    # expert routing (zero run boundaries) still measures 1.113 ms vs the
+    # 0.916 padded-compute floor at the bench shape, i.e. ~0.5 us of
+    # steady-state per-tile cost that is NOT weight-DMA stalls
+    # (docs/STATUS.md round-3 decomposition).
     if stacked:
         (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref, li_ref,
          x_ref, wg_hbm, wu_hbm, h_ref, wg_buf, wu_buf, sems) = refs
@@ -741,7 +755,6 @@ def _gateup_manual_kernel(*refs, stacked: bool):
         li_ref = None
 
     i = pl.program_id(0)
-    slot = slot_ref[i]
 
     def copies(e, s):
         def src(w_hbm):
@@ -751,50 +764,67 @@ def _gateup_manual_kernel(*refs, stacked: bool):
             pltpu.make_async_copy(src(wu_hbm), wu_buf.at[s], sems.at[s, 1]),
         )
 
-    @pl.when(i == 0)
-    def _():  # bootstrap runs 0 and 1
-        for c in copies(te_ref[0], slot):
-            c.start()
-        nxt = nxt_ref[0]
+    x_all = x_ref[...]
+    tm = x_all.shape[0] // nsub
 
-        @pl.when(nxt >= 0)
-        def _():
-            for c in copies(nxt, (slot + 1) % NSLOTS):
-                c.start()
+    for j in range(nsub):
+        t = i * nsub + j if nsub > 1 else i
+        slot = slot_ref[t]
 
-    @pl.when(start_ref[i] == 1)
-    def _():
-        for c in copies(te_ref[i], slot):
-            c.wait()
-        nxt2 = nxt2_ref[i]
+        if j == 0:
+            @pl.when(i == 0)
+            def _(slot=slot):  # bootstrap runs 0 and 1
+                for c in copies(te_ref[0], slot):
+                    c.start()
+                nxt = nxt_ref[0]
 
-        @pl.when(nxt2 >= 0)
-        def _():  # two-run lookahead
-            for c in copies(nxt2, jax.lax.rem(slot + 2, NSLOTS)):
-                c.start()
+                @pl.when(nxt >= 0)
+                def _():
+                    for c in copies(nxt, (slot + 1) % NSLOTS):
+                        c.start()
 
-    x = x_ref[...]
+        @pl.when(start_ref[t] == 1)
+        def _(t=t, slot=slot):
+            for c in copies(te_ref[t], slot):
+                c.wait()
+            nxt2 = nxt2_ref[t]
 
-    def compute(s: int):
-        def _():  # static buffer index (see _fused_ffn_kernel note)
-            gate = jax.lax.dot_general(
-                x, wg_buf[s], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            up = jax.lax.dot_general(
-                x, wu_buf[s], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            h_ref[...] = (jax.nn.silu(gate) * up).astype(h_ref.dtype)
-        return _
+            @pl.when(nxt2 >= 0)
+            def _():  # two-run lookahead
+                for c in copies(nxt2, jax.lax.rem(slot + 2, NSLOTS)):
+                    c.start()
 
-    for s in range(NSLOTS):
-        pl.when(slot == s)(compute(s))
+        x = x_all[j * tm:(j + 1) * tm] if nsub > 1 else x_all
 
-    @pl.when(slot == NSLOTS)  # pad-skip sentinel (_run_schedule): no dot
-    def _():
-        h_ref[...] = jnp.zeros(h_ref.shape, h_ref.dtype)
+        def compute(s: int, j=j, x=x):
+            def _():  # static buffer index (see _fused_ffn_kernel note)
+                gate = jax.lax.dot_general(
+                    x, wg_buf[s], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                up = jax.lax.dot_general(
+                    x, wu_buf[s], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                val = (jax.nn.silu(gate) * up).astype(h_ref.dtype)
+                if nsub > 1:
+                    h_ref[j * tm:(j + 1) * tm, :] = val
+                else:
+                    h_ref[...] = val
+            return _
+
+        for s in range(NSLOTS):
+            pl.when(slot == s)(compute(s))
+
+        @pl.when(slot == NSLOTS)  # pad-skip sentinel (_run_schedule): no dot
+        def _(j=j):
+            z = jnp.zeros((tm, h_ref.shape[1]), h_ref.dtype)
+            if nsub > 1:
+                h_ref[j * tm:(j + 1) * tm, :] = z
+            else:
+                h_ref[...] = z
 
 
-def _matmul_manual_kernel(*refs, stacked: bool):
+def _matmul_manual_kernel(*refs, stacked: bool, nsub: int = 1):
+    # ``nsub``: see _gateup_manual_kernel — layout tiles per grid step.
     if stacked:
         (te_ref, nxt_ref, nxt2_ref, start_ref, slot_ref, li_ref,
          x_ref, w_hbm, o_ref, w_buf, sems) = refs
@@ -804,45 +834,60 @@ def _matmul_manual_kernel(*refs, stacked: bool):
         li_ref = None
 
     i = pl.program_id(0)
-    slot = slot_ref[i]
 
     def copy(e, s):
         src = w_hbm.at[li_ref[0], e] if stacked else w_hbm.at[e]
         return pltpu.make_async_copy(src, w_buf.at[s], sems.at[s])
 
-    @pl.when(i == 0)
-    def _():
-        copy(te_ref[0], slot).start()
-        nxt = nxt_ref[0]
+    x_all = x_ref[...]
+    tm = x_all.shape[0] // nsub
 
-        @pl.when(nxt >= 0)
-        def _():
-            copy(nxt, (slot + 1) % NSLOTS).start()
+    for j in range(nsub):
+        t = i * nsub + j if nsub > 1 else i
+        slot = slot_ref[t]
 
-    @pl.when(start_ref[i] == 1)
-    def _():
-        copy(te_ref[i], slot).wait()
-        nxt2 = nxt2_ref[i]
+        if j == 0:
+            @pl.when(i == 0)
+            def _(slot=slot):
+                copy(te_ref[0], slot).start()
+                nxt = nxt_ref[0]
 
-        @pl.when(nxt2 >= 0)
-        def _():
-            copy(nxt2, jax.lax.rem(slot + 2, NSLOTS)).start()
+                @pl.when(nxt >= 0)
+                def _():
+                    copy(nxt, (slot + 1) % NSLOTS).start()
 
-    x = x_ref[...]
+        @pl.when(start_ref[t] == 1)
+        def _(t=t, slot=slot):
+            copy(te_ref[t], slot).wait()
+            nxt2 = nxt2_ref[t]
 
-    def compute(s: int):
-        def _():
-            o_ref[...] = jax.lax.dot_general(
-                x, w_buf[s], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(o_ref.dtype)
-        return _
+            @pl.when(nxt2 >= 0)
+            def _():
+                copy(nxt2, jax.lax.rem(slot + 2, NSLOTS)).start()
 
-    for s in range(NSLOTS):
-        pl.when(slot == s)(compute(s))
+        x = x_all[j * tm:(j + 1) * tm] if nsub > 1 else x_all
 
-    @pl.when(slot == NSLOTS)  # pad-skip sentinel (_run_schedule): no dot
-    def _():
-        o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+        def compute(s: int, j=j, x=x):
+            def _():
+                val = jax.lax.dot_general(
+                    x, w_buf[s], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                if nsub > 1:
+                    o_ref[j * tm:(j + 1) * tm, :] = val
+                else:
+                    o_ref[...] = val
+            return _
+
+        for s in range(NSLOTS):
+            pl.when(slot == s)(compute(s))
+
+        @pl.when(slot == NSLOTS)  # pad-skip sentinel (_run_schedule): no dot
+        def _(j=j):
+            z = jnp.zeros((tm, o_ref.shape[1]), o_ref.dtype)
+            if nsub > 1:
+                o_ref[j * tm:(j + 1) * tm, :] = z
+            else:
+                o_ref[...] = z
 
 
 def grouped_gateup_manual(
@@ -853,27 +898,33 @@ def grouped_gateup_manual(
     tile_m: int = TILE_M,
     layer_index: Optional[jnp.ndarray] = None,
     tile_valid: Optional[jnp.ndarray] = None,
+    nsub: int = 1,
 ) -> jnp.ndarray:
     """silu(x@wg[e]) * (x@wu[e]) with manual NSLOTS weight pipelining.
-    Requires lane-aligned D and F (every full-size preset qualifies)."""
+    Requires lane-aligned D and F (every full-size preset qualifies).
+
+    ``nsub``: layout tiles per grid step (see _gateup_manual_kernel);
+    falls back to 1 when the tile count doesn't divide."""
     m_pad, d = x_padded.shape
     e, _, f = we_gate.shape[-3:]
     stacked = we_gate.ndim == 4
     if d % 128 or f % 128:
         raise ValueError(f"manual gate/up needs D, F % 128 == 0, got {d}, {f}")
+    if (m_pad // tile_m) % nsub:
+        nsub = 1
 
     start, slot, nxt, nxt2 = _run_schedule(tile_expert, e, tile_valid)
     wdt = we_gate.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if stacked else 5,
-        grid=(m_pad // tile_m,),
+        grid=(m_pad // (tile_m * nsub),),
         in_specs=[
-            pl.BlockSpec((tile_m, d), lambda i, *s: (i, 0),
+            pl.BlockSpec((tile_m * nsub, d), lambda i, *s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((tile_m, f), lambda i, *s: (i, 0),
+        out_specs=pl.BlockSpec((tile_m * nsub, f), lambda i, *s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NSLOTS, d, f), wdt),
@@ -889,9 +940,9 @@ def grouped_gateup_manual(
     # the SURROUNDING ops — measured: a 48 MB limit here makes the
     # downstream unsort gather 4x slower (it loses its VMEM prefetch).
     scratch_bytes = 2 * NSLOTS * d * f * wdt.itemsize
-    blocks_bytes = 2 * tile_m * (d + f) * x_padded.dtype.itemsize
+    blocks_bytes = 2 * tile_m * nsub * (d + f) * x_padded.dtype.itemsize
     return pl.pallas_call(
-        functools.partial(_gateup_manual_kernel, stacked=stacked),
+        functools.partial(_gateup_manual_kernel, stacked=stacked, nsub=nsub),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, f), x_padded.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -914,24 +965,27 @@ def grouped_matmul_manual(
     tile_m: int = TILE_M,
     layer_index: Optional[jnp.ndarray] = None,
     tile_valid: Optional[jnp.ndarray] = None,
+    nsub: int = 1,
 ) -> jnp.ndarray:
     m_pad, f = x_padded.shape
     e, _, d = w.shape[-3:]
     stacked = w.ndim == 4
     if d % 128 or f % 128:
         raise ValueError(f"manual matmul needs dims % 128 == 0, got {f}, {d}")
+    if (m_pad // tile_m) % nsub:
+        nsub = 1
 
     start, slot, nxt, nxt2 = _run_schedule(tile_expert, e, tile_valid)
     wdt = w.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if stacked else 5,
-        grid=(m_pad // tile_m,),
+        grid=(m_pad // (tile_m * nsub),),
         in_specs=[
-            pl.BlockSpec((tile_m, f), lambda i, *s: (i, 0),
+            pl.BlockSpec((tile_m * nsub, f), lambda i, *s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((tile_m, d), lambda i, *s: (i, 0),
+        out_specs=pl.BlockSpec((tile_m * nsub, d), lambda i, *s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NSLOTS, f, d), wdt),
@@ -942,9 +996,9 @@ def grouped_matmul_manual(
     if stacked:
         scalars.append(jnp.asarray(layer_index, jnp.int32).reshape(1))
     scratch_bytes = NSLOTS * f * d * wdt.itemsize
-    blocks_bytes = 2 * tile_m * (d + f) * x_padded.dtype.itemsize
+    blocks_bytes = 2 * tile_m * nsub * (d + f) * x_padded.dtype.itemsize
     return pl.pallas_call(
-        functools.partial(_matmul_manual_kernel, stacked=stacked),
+        functools.partial(_matmul_manual_kernel, stacked=stacked, nsub=nsub),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, d), x_padded.dtype),
         compiler_params=pltpu.CompilerParams(

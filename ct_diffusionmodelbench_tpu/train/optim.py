@@ -11,7 +11,10 @@ trainable dense model at ~0.83B params (f32 params + 2x f32 moments + grads
 
 while every *update* is computed in f32 (dequantize -> Adam math ->
 requantize), so the optimizer dynamics stay close to f32 Adam; the oracle
-test pins tiny-model loss trajectories across all three dtypes.
+test pins tiny-model loss trajectories across all three dtypes.  The int8
+path floors the Adam denominator by nu's own per-block quantization error
+(see adam_math) — without it, updates explode when a nu element quantizes
+to 0 while its mu survives.
 
 The transformation mirrors ``optax.adamw`` = scale_by_adam +
 add_decayed_weights(mask) + scale_by_learning_rate, with identical bias
@@ -68,6 +71,27 @@ def dequantize_int8(t: Quantized) -> jnp.ndarray:
     return flat.reshape(shape)
 
 
+def _quant_err(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Per-block max dequantization error of a [Nb, B] int8 layout:
+    half a quantization step, but exactly 0 for all-zero blocks (whose
+    stored scale is the 1.0 division guard, not a real step size — any
+    block with nonzero absmax holds at least one |q| == 127, so
+    ``any(q != 0)`` identifies them)."""
+    nonzero = jnp.any(q != 0, axis=-1, keepdims=True)
+    return jnp.where(nonzero, 0.5 * scale, 0.0)
+
+
+def dequantize_err(t: Quantized) -> jnp.ndarray:
+    """Per-element dequantization error bound of ``t``, in its original
+    shape (each element carries its block's half-step; see _quant_err)."""
+    shape = t.meta.shape[1:]
+    n = 1
+    for d in shape:
+        n *= d
+    err = jnp.broadcast_to(_quant_err(t.q, t.scale), t.q.shape)
+    return err.reshape(-1)[:n].reshape(shape)
+
+
 def _encode(x: jnp.ndarray, dtype: str):
     if dtype == "int8":
         return quantize_int8(x)
@@ -93,10 +117,24 @@ def scale_by_adam_lowp(
     b2: float = 0.999,
     eps: float = 1e-8,
     state_dtype: str = "float32",
+    update_dtype: str = "float32",
 ) -> optax.GradientTransformation:
-    """optax ``scale_by_adam`` with mu/nu stored in ``state_dtype``."""
+    """optax ``scale_by_adam`` with mu/nu stored in ``state_dtype``.
+
+    ``update_dtype``: dtype of the EMITTED update tree (the Adam math
+    itself always runs in f32).  With bf16 params the final
+    ``p + lr*upd`` rounds to bf16 regardless, so emitting bf16 updates
+    only adds bf16 rounding ON the update value (~0.4% relative — the
+    gradients were already bf16 under grad_accum_dtype='bfloat16') while
+    halving the update tree's live bytes: XLA's buffer assignment holds
+    the full tree across the optimizer epilogue, measured 5.5 GiB f32 at
+    1.38B params (tools/moe_train_memfit.py) — the allocation between the
+    2-layer and 3-layer single-chip MoE SFT ceiling."""
     if state_dtype not in ("float32", "bfloat16", "int8"):
         raise ValueError(f"unknown optimizer state dtype {state_dtype!r}")
+    if update_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown optimizer update dtype {update_dtype!r}")
+    u_dt = jnp.dtype(update_dtype)
 
     def init_fn(params):
         def zeros():
@@ -112,16 +150,28 @@ def scale_by_adam_lowp(
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
 
-        def adam_math(g32, mu_prev, nu_prev):
+        def adam_math(g32, mu_prev, nu_prev, nu_err=0.0):
             # Shared by the plain and chunked paths — identical op order;
             # results agree to one ulp (XLA may fuse/FMA the elementwise
             # chains differently per context), pinned by
             # tests/test_train.py::test_int8_adam_chunked_update_matches.
+            #
+            # ``nu_err`` is the max dequantization error of nu_prev (half a
+            # quantization step, per block; 0 for exact f32/bf16 state).
+            # Without it the int8 path EXPLODES: nu has the squared dynamic
+            # range of the grads, so a block's small elements quantize to 0
+            # while their mu survives, and mu_hat/(sqrt(nu_hat)+eps) on the
+            # next small-grad step emits updates 1e3-1e6x the intended
+            # scale (measured max|upd| 3e4 at lr-normalized scale 1e-2 with
+            # decaying-magnitude grads).  Flooring nu by its own error
+            # bound caps |upd| near ~0.7 worst-case while shifting
+            # well-represented elements by <=1/254 inside the sqrt.
             mu = b1 * mu_prev + (1.0 - b1) * g32
             nu = b2 * nu_prev + (1.0 - b2) * g32 * g32
             mu_hat = mu / c1
             nu_hat = nu / c2
-            upd = mu_hat / (jnp.sqrt(nu_hat) + eps)
+            nu_floor = (b2 * nu_err) / c2
+            upd = mu_hat / (jnp.sqrt(nu_hat + nu_floor) + eps)
             return upd, mu, nu
 
         def leaf_int8_chunked(g, mu_q, nu_q):
@@ -143,7 +193,8 @@ def scale_by_adam_lowp(
                 gc, qm, sm, qn, sn = args
                 upd, mu, nu = adam_math(gc.astype(jnp.float32),
                                         qm.astype(jnp.float32) * sm,
-                                        qn.astype(jnp.float32) * sn)
+                                        qn.astype(jnp.float32) * sn,
+                                        nu_err=_quant_err(qn, sn))
 
                 def quant(x):
                     absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
@@ -153,7 +204,7 @@ def scale_by_adam_lowp(
 
                 qm2, sm2 = quant(mu)
                 qn2, sn2 = quant(nu)
-                return upd, qm2, sm2, qn2, sn2
+                return upd.astype(u_dt), qm2, sm2, qn2, sn2
 
             upd, qm, sm, qn, sn = jax.lax.map(
                 one, (rows(rows_g, QUANT_BLOCK),
@@ -173,10 +224,13 @@ def scale_by_adam_lowp(
         def leaf(g, mu_q, nu_q):
             if state_dtype == "int8" and g.size > CHUNK_ROWS * QUANT_BLOCK:
                 return leaf_int8_chunked(g, mu_q, nu_q)
+            nu_err = dequantize_err(nu_q) if state_dtype == "int8" else 0.0
             upd, mu, nu = adam_math(g.astype(jnp.float32),
                                     _decode(mu_q, state_dtype),
-                                    _decode(nu_q, state_dtype))
-            return upd, _encode(mu, state_dtype), _encode(nu, state_dtype)
+                                    _decode(nu_q, state_dtype),
+                                    nu_err=nu_err)
+            return (upd.astype(u_dt), _encode(mu, state_dtype),
+                    _encode(nu, state_dtype))
 
         flat_g, treedef = jax.tree.flatten(updates)
         flat_mu = treedef.flatten_up_to(state.mu) \
@@ -219,6 +273,57 @@ def clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _add_decayed_weights_keep_dtype(weight_decay, mask=None):
+    """optax.add_decayed_weights computing per leaf in f32 and casting back
+    to the UPDATE's dtype — optax's own version promotes bf16 updates to
+    f32 (u + wd*p with weak-typed operands), rematerializing the full-size
+    f32 update tree the bf16 path exists to avoid."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("add_decayed_weights needs params")
+
+        def leaf(u, p, m=True):
+            if not m:
+                return u
+            return (u.astype(jnp.float32)
+                    + weight_decay * p.astype(jnp.float32)).astype(u.dtype)
+
+        if mask is not None:
+            m = mask(params) if callable(mask) else mask
+            updates = jax.tree.map(leaf, updates, params, m)
+        else:
+            updates = jax.tree.map(leaf, updates, params)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _scale_by_learning_rate_keep_dtype(learning_rate):
+    """optax.scale_by_learning_rate casting back to the update's dtype (the
+    f32 schedule scalar otherwise promotes a bf16 tree to f32)."""
+
+    def init_fn(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
+        step = -jnp.asarray(lr, jnp.float32)
+        updates = jax.tree.map(
+            lambda u: (u.astype(jnp.float32) * step).astype(u.dtype), updates)
+        return updates, optax.ScaleByScheduleState(
+            count=optax.safe_increment(state.count))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def adamw_lowp(
     learning_rate,
     b1: float = 0.9,
@@ -227,10 +332,22 @@ def adamw_lowp(
     weight_decay: float = 0.0,
     mask=None,
     state_dtype: str = "float32",
+    update_dtype: str = "float32",
 ) -> optax.GradientTransformation:
-    """Drop-in for ``optax.adamw`` with a moment-state dtype knob."""
+    """Drop-in for ``optax.adamw`` with moment-state and update dtype
+    knobs.  update_dtype='bfloat16' keeps the emitted tree bf16 through
+    the decay and lr stages (keep-dtype variants; the per-leaf math still
+    runs f32, so values match optax to one bf16 rounding)."""
+    if update_dtype == "float32":
+        return optax.chain(
+            scale_by_adam_lowp(b1=b1, b2=b2, eps=eps,
+                               state_dtype=state_dtype),
+            optax.add_decayed_weights(weight_decay, mask),
+            optax.scale_by_learning_rate(learning_rate),
+        )
     return optax.chain(
-        scale_by_adam_lowp(b1=b1, b2=b2, eps=eps, state_dtype=state_dtype),
-        optax.add_decayed_weights(weight_decay, mask),
-        optax.scale_by_learning_rate(learning_rate),
+        scale_by_adam_lowp(b1=b1, b2=b2, eps=eps, state_dtype=state_dtype,
+                           update_dtype=update_dtype),
+        _add_decayed_weights_keep_dtype(weight_decay, mask),
+        _scale_by_learning_rate_keep_dtype(learning_rate),
     )

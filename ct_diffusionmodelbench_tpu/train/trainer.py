@@ -64,6 +64,14 @@ class TrainConfig:
     # with the freshly computed grads — bf16 halves both and is what lets
     # the FULL llada-2b (1.65B) train on one 16 GB chip with int8 moments.
     grad_accum_dtype: str = "float32"
+    # Dtype of the emitted Adam update tree (float32 | bfloat16).  XLA's
+    # buffer assignment keeps the whole update tree live across the
+    # optimizer epilogue (measured 5.5 GiB f32 at 1.38B params,
+    # tools/moe_train_memfit.py); with bf16 params the final add rounds
+    # to bf16 anyway, so bf16 updates only add rounding ON the update
+    # value while halving that allocation (train/optim.py).  Only
+    # consulted on the lowp path (optimizer_state_dtype != float32).
+    optimizer_update_dtype: str = "float32"
     # Donate params + optimizer state to the jitted step so XLA updates them
     # in place (no 2x-state double buffering — the margin that decides
     # whether a 1.65B model trains on a 16 GB chip).  The caller's input
@@ -143,7 +151,8 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
         adamw = adamw_lowp(schedule, b1=cfg.adam_b1, b2=cfg.adam_b2,
                            eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
                            mask=decay_mask,
-                           state_dtype=cfg.optimizer_state_dtype)
+                           state_dtype=cfg.optimizer_state_dtype,
+                           update_dtype=cfg.optimizer_update_dtype)
     if cfg.grad_accum_dtype == "float32":
         clip = optax.clip_by_global_norm(cfg.max_grad_norm)
     else:

@@ -91,6 +91,37 @@ def test_manual_dma_pair_matches_dense_oracle():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_manual_pair_nsub_matches_nsub1():
+    """nsub>1 (multiple layout tiles per grid step, grouped_gemm_pallas
+    _gateup_manual_kernel) is a pure scheduling change: identical outputs
+    to the nsub=1 kernels, including with a skewed routing whose expert
+    runs straddle grid-step boundaries."""
+    from ct_diffusionmodelbench_tpu.ops.grouped_gemm_pallas import (
+        counting_layout, grouped_gateup_manual, grouped_matmul_manual)
+
+    for skew in (False, True):
+        x, tp, ti, wg, wu, wd = _setup()
+        if skew:
+            ti = jnp.zeros_like(ti).at[:, 1].set(3)
+        n, k = ti.shape
+        e = wg.shape[0]
+        dest, tile_expert, _, m_pad = counting_layout(ti, e, 8)
+        src = jnp.zeros((m_pad,), jnp.int32).at[dest].set(
+            jnp.arange(n * k, dtype=jnp.int32) // k)
+        xp = jnp.take(x, src, axis=0, mode="clip")
+        h1 = grouped_gateup_manual(xp, wg, wu, tile_expert, 8)
+        h2 = grouped_gateup_manual(xp, wg, wu, tile_expert, 8, nsub=2)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        o1 = grouped_matmul_manual(h1, wd, tile_expert, 8)
+        o2 = grouped_matmul_manual(h1, wd, tile_expert, 8, nsub=2)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        # non-dividing nsub falls back to 1 (no error, same numbers)
+        ntiles = m_pad // 8
+        bad = 3 if ntiles % 3 else 7
+        o3 = grouped_matmul_manual(h1, wd, tile_expert, 8, nsub=bad)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o3))
+
+
 def test_stacked_weights_require_layer_index():
     """4-D [L, E, D, Fm] stacks without layer_index must fail loudly instead
     of silently computing with layer 0's experts (ADVICE r2)."""

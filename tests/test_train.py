@@ -602,6 +602,44 @@ def test_train_step_ce_chunk_matches_disabled(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("state_dtype", ["float32", "int8"])
+def test_adam_bf16_updates_track_f32_updates(state_dtype):
+    """update_dtype='bfloat16' (train/optim.py — halves the live update
+    tree, the allocation between the 2- and 3-layer single-chip MoE SFT
+    ceiling) emits the same Adam updates to bf16 rounding.  With exact f32
+    moments the drift is pure bf16 rounding on the update value (~4 * lr *
+    2^-8); with int8 moments the rounded params shift requantization
+    boundaries too, so the bound is a few percent of the accumulated update
+    (measured 1.1e-3 over 4 steps at lr 1e-2)."""
+    import optax
+
+    from ct_diffusionmodelbench_tpu.train.optim import adamw_lowp
+
+    params0 = {"w": jax.random.normal(jax.random.key(0), (70, 37)),
+               "b": jax.random.normal(jax.random.key(1), (13,))}
+
+    def run(update_dtype):
+        opt = adamw_lowp(1e-2, weight_decay=0.01, state_dtype=state_dtype,
+                         update_dtype=update_dtype)
+        state = opt.init(params0)
+        p = params0
+        for i in range(4):
+            g = jax.tree.map(lambda x, i=i: 0.1 * x + 0.01 * i, p)
+            upd, state = opt.update(g, state, p)
+            if update_dtype == "bfloat16":
+                for u in jax.tree.leaves(upd):
+                    assert u.dtype == jnp.bfloat16
+            p = optax.apply_updates(p, upd)
+        return p
+
+    p_f32 = run("float32")
+    p_bf16 = run("bfloat16")
+    atol = (4 * 1e-2 * 2 ** -8 * 1.5 if state_dtype == "float32"
+            else 4 * 1e-2 * 0.06)
+    for a, b in zip(jax.tree.leaves(p_f32), jax.tree.leaves(p_bf16)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+
+
 def test_int8_adam_chunked_update_matches(monkeypatch):
     """The chunked int8 Adam path (optim.py leaf_int8_chunked — per-
     CHUNK_ROWS lax.map over the quantized layout) runs the same math as
@@ -641,3 +679,43 @@ def test_int8_adam_chunked_update_matches(monkeypatch):
             assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
         else:
             np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_int8_adam_no_explosion_on_decaying_grads(monkeypatch, chunked):
+    """Regression: decaying-magnitude grads drive nu's dynamic range far
+    past int8's — small nu elements of a block quantize to 0 while their mu
+    survives, and without the nu quantization-error floor (optim.py
+    adam_math nu_err) the emitted update explodes to 1e3-1e6x the lr scale
+    (measured max|upd| 3.1e4 at lr 1e-2 before the fix).  Every |update|
+    must stay at the Adam scale (<= ~1.1x lr here) and the final params
+    must stay near the f32-state run."""
+    import optax
+
+    from ct_diffusionmodelbench_tpu.train import optim as optim_mod
+    from ct_diffusionmodelbench_tpu.train.optim import adamw_lowp
+
+    if chunked:
+        # w (64*256 elements) > CHUNK_ROWS*QUANT_BLOCK -> chunked path
+        monkeypatch.setattr(optim_mod, "CHUNK_ROWS", 8)
+
+    def run(state_dtype):
+        opt = adamw_lowp(1e-2, weight_decay=0.01, state_dtype=state_dtype)
+        p = {"w": jax.random.normal(jax.random.key(1), (64, 256)) * 0.02}
+        state = opt.init(p)
+        worst = 0.0
+        for i in range(6):
+            g = {"w": jax.random.normal(jax.random.fold_in(jax.random.key(0),
+                                                           i),
+                                        (64, 256)) * (10.0 ** -i)}
+            upd, state = opt.update(g, state, p)
+            worst = max(worst, float(jnp.abs(upd["w"]).max()))
+            p = optax.apply_updates(p, upd)
+        return p, worst
+
+    p_f32, worst_f32 = run("float32")
+    p_int8, worst_int8 = run("int8")
+    assert worst_f32 < 1.2e-2
+    assert worst_int8 < 1.5e-2, f"int8 Adam update exploded: {worst_int8}"
+    np.testing.assert_allclose(np.asarray(p_int8["w"]),
+                               np.asarray(p_f32["w"]), atol=0.06)

@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 os.environ["CTDB_MOE_STACKED"] = "0"  # match bench_sweep.bench_sft_moe
 
 
-def analyze(layers, ce_chunk):
+def analyze(layers, ce_chunk, update_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -36,6 +36,7 @@ def analyze(layers, ce_chunk):
                        max_length=L, remat=True,
                        optimizer_state_dtype="int8",
                        grad_accum_dtype="bfloat16",
+                       optimizer_update_dtype=update_dtype,
                        ce_chunk=ce_chunk)
     optimizer, _ = make_optimizer(tcfg, total_steps=100)
     step, _ = make_train_step(cfg, tcfg, optimizer)
@@ -71,13 +72,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", default="4,3,6,5,2")
     ap.add_argument("--ce-chunk", type=int, default=256)
+    ap.add_argument("--update-dtype", default="float32")
     args = ap.parse_args()
 
     for n in [int(x) for x in args.layers.split(",")]:
         try:
-            row = analyze(n, args.ce_chunk)
+            row = analyze(n, args.ce_chunk, args.update_dtype)
+            row["update_dtype"] = args.update_dtype
         except Exception as e:
             row = {"layers": n, "ce_chunk": args.ce_chunk,
+                   "update_dtype": args.update_dtype,
                    "error": f"{type(e).__name__}: {str(e)[:2000]}"}
         print(json.dumps(row), flush=True)
 

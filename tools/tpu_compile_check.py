@@ -66,6 +66,23 @@ def _flash_fwd():
     np.asarray(jax.jit(lambda *a: flash_attention(*a, rope=(cos, sin)))(q, kv, v))
 
 
+@check("flash_fwd_grouped")
+def _flash_fwd_grouped():
+    """The head-group policy's production picks (ops/flash_attention.py
+    _head_group) at the real serving geometries — Mosaic rejected one
+    grouped config (tq=512, g=16) that interpret mode was happy with, so
+    every shape the auto-dispatcher can route to the kernel compiles here."""
+    from ct_diffusionmodelbench_tpu.ops.flash_attention import flash_attention
+
+    for (b, s, h) in ((1, 320, 32), (1, 512, 32), (1, 1024, 32),
+                      (2, 320, 16)):
+        ks = jax.random.split(jax.random.key(3), 3)
+        q = jax.random.normal(ks[0], (b, s, h, 128), jnp.bfloat16)
+        kv = jax.random.normal(ks[1], (b, s, h, 128), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (b, s, h, 128), jnp.bfloat16)
+        np.asarray(jax.jit(flash_attention)(q, kv, v))
+
+
 @check("flash_bwd")
 def _flash_bwd():
     from ct_diffusionmodelbench_tpu.ops.flash_attention import flash_attention
