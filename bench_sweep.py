@@ -349,7 +349,46 @@ def bench_sft_moe():
         os.environ.pop("CTDB_MOE_STACKED", None)
 
 
-def _bench_sft_moe_subprocess():
+def bench_sft_moe_max():
+    """Largest single-chip-TRAINABLE llada-moe-7b stack (VERDICT r3 item 7).
+
+    The opt-in memory-saver backward (``CTDB_RAGGED_NT=1``,
+    grouped_gemm._ragged_dot_nt) removes the ~2 GB of hoisted full-stack
+    expert-weight transposes from the backward scan — that is what moves
+    the depth ceiling past the throughput row's 2 layers.  It costs speed
+    (2-layer on-chip A/B: 0.725 -> 1.324 s/step), so the throughput row
+    (sft_train_step_moe) keeps the fast transpose-rule backward and THIS
+    row carries the depth record."""
+    import os
+
+    from ct_diffusionmodelbench_tpu.train.trainer import TrainConfig
+
+    tcfg = TrainConfig(learning_rate=5e-5, grad_accum=4, batch_size=1,
+                       max_length=2048, remat=True,
+                       optimizer_state_dtype="int8",
+                       grad_accum_dtype="bfloat16")
+    os.environ["CTDB_MOE_STACKED"] = "0"  # see bench_sft_moe
+    os.environ["CTDB_RAGGED_NT"] = "1"
+    try:
+        layers = int(os.environ.get("CTDB_BENCH_MOE_LAYERS", "0"))
+        if layers:  # single attempt (we are the subprocess)
+            row = _bench_sft_moe_inner(tcfg, layers)
+            row["backward"] = ("CTDB_RAGGED_NT=1 non-transposing ragged "
+                               "backward (memory over speed)")
+            return row
+        row = _bench_sft_moe_subprocess("sft_train_step_moe_max", (4, 3))
+        row.setdefault("hbm_ceiling", (
+            "3 layers with the FAST backward AOT-OOMs by 152 MB "
+            "(15.90/15.75 GiB usable HBM, tools/moe_train_memfit.py) — "
+            "nt is what buys the extra depth"))
+        return row
+    finally:
+        os.environ.pop("CTDB_MOE_STACKED", None)
+        os.environ.pop("CTDB_RAGGED_NT", None)
+
+
+def _bench_sft_moe_subprocess(section="sft_train_step_moe",
+                              ladder=(6, 5, 4, 3, 2)):
     """Each layer-count attempt in its OWN process: HBM freed after an OOM
     inside a process is not reliably reusable by that process (CLAUDE.md) —
     in-process retries inherit a poisoned heap and fail even when the
@@ -359,23 +398,29 @@ def _bench_sft_moe_subprocess():
     import sys
 
     last = None
+    failed = []
     # Descend from the deepest plausible stack; chunked CE (TrainConfig
     # ce_chunk, round 4) removed the [L, V] f32 logits+cotangent peak that
     # stopped round 3 at 2 layers.
-    for layers in (6, 5, 4, 3, 2):
+    for layers in ladder:
         env = dict(os.environ, CTDB_BENCH_MOE_LAYERS=str(layers))
         run = subprocess.run(
-            [sys.executable, __file__, "--only", "sft_train_step_moe"],
+            [sys.executable, __file__, "--only", section],
             capture_output=True, text=True, timeout=3600, env=env)
         for line in reversed(run.stdout.strip().splitlines()):
             try:
-                row = json.loads(line).get("sft_train_step_moe")
+                row = json.loads(line).get(section)
             except Exception:
                 continue
             if row and "error" not in row:
+                if failed:
+                    row["hbm_ceiling"] = (
+                        f"deeper stacks OOMed this config: layers "
+                        f"{failed} (15.75 GiB usable HBM)")
                 return row
             last = row
             break
+        failed.append(layers)
         time.sleep(150)  # axon HBM reclamation lag between attempts
     raise RuntimeError(f"all MoE layer counts OOMed: {last}")
 
@@ -487,6 +532,7 @@ def main():
                      ("sft_train_step", bench_sft),
                      ("sft_train_step_int8_adam", bench_sft_int8_full2b),
                      ("sft_train_step_moe", bench_sft_moe),
+                     ("sft_train_step_moe_max", bench_sft_moe_max),
                      ("llada_8b_int8_single_chip", bench_llada8b_int8)):
         if only is not None and name not in only:
             continue

@@ -111,6 +111,61 @@ def grouped_expert_ffn(
     return _ffn_ragged(x, topk_probs, topk_idx, we_gate, we_up, we_down)
 
 
+def _use_nt_backward() -> bool:
+    """Opt-in memory-saver backward for the ragged expert matmuls.
+
+    On-chip A/B at the 2-layer llada-moe-7b train config (bench_sweep
+    ``sft_train_step_moe``, effective batch 4, seq 2048): the nt backward
+    costs **0.725 → 1.324 s/step on-chip** (~1.8x) but frees the ~2 GB of
+    hoisted full-stack weight transposes, which is what lets the 3-layer
+    (1.75B) config train on one 16 GB chip at all.  Speed default: off.
+    """
+    return os.environ.get("CTDB_RAGGED_NT", "0") == "1"
+
+
+@jax.custom_vjp
+def _ragged_dot_nt(x, w, group_sizes):
+    """``jax.lax.ragged_dot`` with a non-transposing backward.
+
+    JAX's built-in transpose rule computes dx against ``transpose(w,
+    (0, 2, 1))`` — under a layer scan XLA hoists that into ONE full-stack
+    layout copy of every expert weight (672 MB per [3, 64, 2048, 896] bf16
+    stack, the largest allocations in the 3-layer MoE train step's OOM
+    breakdown).  The backward here instead issues ``ragged_dot_general``
+    contracting ``w``'s output dim directly: bit-identical dx (verified),
+    no second weight layout — but measurably slower per step (see
+    :func:`_use_nt_backward`), so it is opt-in via ``CTDB_RAGGED_NT=1``.
+    """
+    return jax.lax.ragged_dot(x, w, group_sizes,
+                              preferred_element_type=jnp.float32)
+
+
+def _ragged_dot_nt_fwd(x, w, group_sizes):
+    return _ragged_dot_nt(x, w, group_sizes), (x, w, group_sizes)
+
+
+def _ragged_dot_nt_bwd(res, g):
+    import numpy as np
+
+    x, w, group_sizes = res
+    dims_dx = jax.lax.RaggedDotDimensionNumbers(
+        dot_dimension_numbers=(((1,), (2,)), ((), ())),
+        lhs_ragged_dimensions=(0,), rhs_group_dimensions=(0,))
+    dims_dw = jax.lax.RaggedDotDimensionNumbers(
+        dot_dimension_numbers=(((0,), (0,)), ((), ())),
+        lhs_ragged_dimensions=(0,), rhs_group_dimensions=())
+    dx = jax.lax.ragged_dot_general(
+        g, w, group_sizes, dims_dx,
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    dw = jax.lax.ragged_dot_general(
+        x, g, group_sizes, dims_dw,
+        preferred_element_type=jnp.float32).astype(w.dtype)
+    return dx, dw, np.zeros(group_sizes.shape, jax.dtypes.float0)
+
+
+_ragged_dot_nt.defvjp(_ragged_dot_nt_fwd, _ragged_dot_nt_bwd)
+
+
 def _ffn_ragged(x, topk_probs, topk_idx, we_gate, we_up, we_down):
     """lax.ragged_dot formulation (3-D weights) — fully differentiable;
     serves as the Pallas path's backward (custom_vjp below)."""
@@ -119,13 +174,16 @@ def _ffn_ragged(x, topk_probs, topk_idx, we_gate, we_up, we_down):
 
     xs = jnp.take(x, token_of, axis=0, mode="clip")       # [N*K, D] sorted by expert
 
-    gate = jax.lax.ragged_dot(xs, we_gate, group_sizes,
-                              preferred_element_type=jnp.float32)
-    up = jax.lax.ragged_dot(xs, we_up, group_sizes,
-                            preferred_element_type=jnp.float32)
+    if _use_nt_backward():
+        rd = _ragged_dot_nt
+    else:
+        def rd(a, w, gs):
+            return jax.lax.ragged_dot(a, w, gs,
+                                      preferred_element_type=jnp.float32)
+    gate = rd(xs, we_gate, group_sizes)
+    up = rd(xs, we_up, group_sizes)
     h = (jax.nn.silu(gate) * up).astype(x.dtype)
-    out_sorted = jax.lax.ragged_dot(h, we_down, group_sizes,
-                                    preferred_element_type=jnp.float32)
+    out_sorted = rd(h, we_down, group_sizes)
 
     # Un-sort with a row GATHER + reshape-sum instead of a row scatter-add:
     # TPU scatters of wide rows are orders of magnitude slower than gathers

@@ -343,3 +343,24 @@ def test_pad_skip_mode_matches_dense_oracle(monkeypatch):
     got2 = grouped_expert_ffn_pallas(x, tp, ti2, wg, wu, wd, tile_m=8)
     np.testing.assert_allclose(np.asarray(dense2), np.asarray(got2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_nt_backward_matches_standard(monkeypatch):
+    """CTDB_RAGGED_NT=1 swaps the ragged matmuls' backward for the
+    non-transposing ragged_dot_general form (memory saver for max-size
+    single-chip MoE training, grouped_gemm._ragged_dot_nt).  Grads must
+    match the standard transpose-rule backward."""
+    from ct_diffusionmodelbench_tpu.ops.grouped_gemm import _ffn_ragged
+
+    x, tp, ti, wg, wu, wd = _setup()
+
+    def loss(x, tp, wg, wu, wd):
+        return (_ffn_ragged(x, tp, ti, wg, wu, wd) ** 2).sum()
+
+    monkeypatch.setenv("CTDB_RAGGED_NT", "0")
+    want = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, tp, wg, wu, wd)
+    monkeypatch.setenv("CTDB_RAGGED_NT", "1")
+    got = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, tp, wg, wu, wd)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-5)

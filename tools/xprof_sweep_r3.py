@@ -143,6 +143,22 @@ def main():
                           "CTDB_GROUPED_FUSED": "1",
                           "CTDB_GROUPED_COMBINE": "kloop",
                           "CTDB_ROUTING_RANK": "chunked"},
+        # round-4 nsub A/B: layout tiles per grid step in the manual pair
+        # kernels (run schedule + weight DMA stay at tile_m; only Mosaic's
+        # per-grid-step x/h block orchestration amortizes — the suspected
+        # ~0.5 us/tile steady-state cost, docs/STATUS.md).
+        "man_nsub2": {"CTDB_GROUPED_TILE_M": "64",
+                      "CTDB_GROUPED_MANUAL": "1",
+                      "CTDB_GROUPED_COMBINE": "kloop",
+                      "CTDB_GROUPED_NSUB": "2"},
+        "man_nsub4": {"CTDB_GROUPED_TILE_M": "64",
+                      "CTDB_GROUPED_MANUAL": "1",
+                      "CTDB_GROUPED_COMBINE": "kloop",
+                      "CTDB_GROUPED_NSUB": "4"},
+        "man_nsub8": {"CTDB_GROUPED_TILE_M": "64",
+                      "CTDB_GROUPED_MANUAL": "1",
+                      "CTDB_GROUPED_COMBINE": "kloop",
+                      "CTDB_GROUPED_NSUB": "8"},
     }
 
     rows = []
