@@ -199,6 +199,12 @@ def main():
     args = ap.parse_args()
 
     name_to_remat = {"full": True, "dots": "dots", "none": False}
+    if "moe" in args.model:
+        # Training wants the SCANNED layer path, not the stacked-weights
+        # custom_vjp (full-stack cotangent per layer — bench_sweep.py
+        # bench_sft_moe note).
+        import os
+        os.environ["CTDB_MOE_STACKED"] = "0"
     rows = []
     for v in args.variants.split(","):
         try:
