@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-4 chip work queue: waits for the axon TPU backend to come back,
+# then runs the four pending measurements in sequence.  Survives builder
+# session restarts (run under nohup/background; logs to /tmp/r4q_*.log).
+set -u
+cd /root/repo
+
+log() { echo "[r4q $(date +%H:%M:%S)] $*"; }
+
+log "waiting for TPU backend"
+until timeout 590 python -c "import jax; assert jax.default_backend() == 'tpu'" 2>/dev/null; do
+  log "backend still unavailable; retrying in 60s"
+  sleep 60
+done
+log "TPU back"
+
+if [ ! -f /tmp/r4q_done_moemax ]; then
+  log "1/4 sft_train_step_moe_max ladder"
+  timeout 5400 python bench_sweep.py --only sft_train_step_moe_max \
+    > /tmp/r4q_moemax.log 2>&1 && touch /tmp/r4q_done_moemax
+  log "moe_max rc=$?"
+  sleep 150
+fi
+
+if [ ! -f /tmp/r4q_done_xtrain ]; then
+  log "2/4 xprof_train decomposition (dense 6L f32, dense 22L int8, moe 2L)"
+  timeout 2400 python tools/xprof_train.py --layers 6 --variants full \
+    > /tmp/r4q_xtrain_dense.log 2>&1
+  log "dense rc=$?"
+  sleep 150
+  timeout 2400 python tools/xprof_train.py --layers 2 --model llada-moe-7b \
+    --opt-dtype int8 --variants full > /tmp/r4q_xtrain_moe.log 2>&1 \
+    && touch /tmp/r4q_done_xtrain
+  log "moe rc=$?"
+  sleep 150
+fi
+
+if [ ! -f /tmp/r4q_done_nsub ]; then
+  log "3/4 nsub kernel sweep (batch 8)"
+  timeout 3600 python tools/xprof_sweep_r3.py --batches 8 \
+    --variants man_both_kloop,man_nsub2,man_nsub4,man_nsub8 \
+    > /tmp/r4q_nsub.log 2>&1 && touch /tmp/r4q_done_nsub
+  log "nsub rc=$?"
+  sleep 150
+fi
+
+if [ ! -f /tmp/r4q_done_bench ]; then
+  log "4/4 bench.py --full -> BENCH_LOCAL_r04.json"
+  CTDB_BENCH_BUDGET_S=1500 timeout 5400 python bench.py --full \
+    --out BENCH_LOCAL_r04.json > /tmp/r4q_bench.log 2>&1 \
+    && touch /tmp/r4q_done_bench
+  log "bench rc=$?"
+fi
+log "queue complete"
