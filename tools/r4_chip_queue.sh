@@ -23,9 +23,9 @@ if [ ! -f /tmp/r4q_done_moemax ]; then
 fi
 
 if [ ! -f /tmp/r4q_done_xtrain ]; then
-  log "2/4 xprof_train decomposition (dense 6L f32, dense 22L int8, moe 2L)"
-  timeout 2400 python tools/xprof_train.py --layers 6 --variants full \
-    > /tmp/r4q_xtrain_dense.log 2>&1
+  log "2/4 xprof_train decomposition (dense 6L remat sweep, moe 2L)"
+  timeout 3600 python tools/xprof_train.py --layers 6 \
+    --variants full,dots,none > /tmp/r4q_xtrain_dense.log 2>&1
   log "dense rc=$?"
   sleep 150
   timeout 2400 python tools/xprof_train.py --layers 2 --model llada-moe-7b \
