@@ -107,6 +107,8 @@ def _grouped():
     for env in ({"CTDB_GROUPED_MANUAL": "0"},
                 {"CTDB_GROUPED_MANUAL": "1"},
                 {"CTDB_GROUPED_MANUAL": "1", "CTDB_GROUPED_SKIP_PAD": "1"},
+                {"CTDB_GROUPED_MANUAL": "1", "CTDB_GROUPED_NSUB": "2"},
+                {"CTDB_GROUPED_MANUAL": "1", "CTDB_GROUPED_NSUB": "4"},
                 {"CTDB_GROUPED_FUSED": "1"},
                 {"CTDB_GROUPED_COMBINE": "gather"},
                 {"CTDB_ROUTING_RANK": "cumsum"}):
