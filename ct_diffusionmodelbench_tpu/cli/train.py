@@ -78,7 +78,8 @@ def build_parser():
                         "stack; the real version of the reference's "
                         "device_map='auto' layer spread, "
                         "Training_0to1k/train.py:116-122; composes with "
-                        "--dp, exclusive with --tp/--sp)")
+                        "--dp, and with --tp for dense models "
+                        "(TP-within-stage); exclusive with --sp)")
     p.add_argument("--pp-microbatches", type=int, default=0,
                    help="GPipe microbatches per step (0 = one per stage); "
                         "batch-size must divide by it")

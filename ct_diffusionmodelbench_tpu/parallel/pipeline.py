@@ -16,10 +16,15 @@ Differentiable end-to-end (scan + ppermute + psum), so ``jax.grad`` through
 ``pp_forward`` yields the reverse pipeline schedule automatically — the
 module trains, not just serves.
 
-Composability: the mesh is ``(data, stage)`` — batch sharding over ``data``
-composes freely since the pipeline is batch-elementwise.  TP-within-stage is
-out of scope here (use the megatron rules in parallel/sharding.py when the
-model fits per-stage memory without it).
+Composability: the mesh is ``(data, stage, model)`` — batch sharding over
+``data`` composes freely since the pipeline is batch-elementwise, and
+``model > 1`` adds megatron tensor parallelism WITHIN each stage for dense
+blocks: wq/wk/wv/w_gate/w_up shard column-parallel (whole heads / FFN
+columns per shard), wo/w_down row-parallel, and the stage body psums the
+two row-parallel partials before their residual adds
+(models/transformer.py::_block_forward ``tp_axis``).  MoE stages keep
+``model == 1`` here — expert parallelism lives on the GSPMD path
+(parallel/sharding.py), which a pipeline stage cannot nest.
 
 MoE aux loss note: the load-balancing loss is computed per microbatch and
 averaged, where the dense forward computes it over the full batch — equal in
@@ -39,38 +44,56 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ct_diffusionmodelbench_tpu.models.config import ModelConfig
 from ct_diffusionmodelbench_tpu.models.layers import rms_norm, rope_angles
 from ct_diffusionmodelbench_tpu.models.transformer import _block_forward
-from ct_diffusionmodelbench_tpu.parallel.mesh import DATA_AXIS
+from ct_diffusionmodelbench_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 STAGE_AXIS = "stage"
 
 
-def make_pp_mesh(stages: int, data: int = 1) -> jax.sharding.Mesh:
-    """(data, stage) mesh for pipeline runs."""
+def make_pp_mesh(stages: int, data: int = 1,
+                 model: int = 1) -> jax.sharding.Mesh:
+    """(data, stage, model) mesh for pipeline runs; ``model > 1`` turns on
+    TP-within-stage (dense blocks only, see module doc)."""
     n = len(jax.devices())
-    if data * stages > n:
-        raise ValueError(f"mesh {data}x{stages} needs {data*stages} devices, have {n}")
-    auto = (jax.sharding.AxisType.Auto,) * 2
-    return jax.make_mesh((data, stages), (DATA_AXIS, STAGE_AXIS),
-                         axis_types=auto, devices=jax.devices()[: data * stages])
+    if data * stages * model > n:
+        raise ValueError(f"mesh {data}x{stages}x{model} needs "
+                         f"{data*stages*model} devices, have {n}")
+    auto = (jax.sharding.AxisType.Auto,) * 3
+    return jax.make_mesh((data, stages, model),
+                         (DATA_AXIS, STAGE_AXIS, MODEL_AXIS),
+                         axis_types=auto,
+                         devices=jax.devices()[: data * stages * model])
 
 
-def pp_param_specs(cfg: ModelConfig) -> dict:
+def _mesh_tp(mesh: jax.sharding.Mesh) -> int:
+    return dict(mesh.shape).get(MODEL_AXIS, 1)
+
+
+def pp_param_specs(cfg: ModelConfig, tp: int = 1) -> dict:
     """Blocks shard their leading layer axis over 'stage'; everything else
-    (embed, final norm, LM head) replicates — stages 0 and S-1 use them."""
+    (embed, final norm, LM head) replicates — stages 0 and S-1 use them.
+
+    ``tp > 1`` (dense blocks only): QKV and FFN up-projections additionally
+    shard their OUTPUT dim over 'model' (column-parallel — each shard owns
+    whole heads / FFN columns), wo/w_down their INPUT dim (row-parallel);
+    norms and head-dim vectors replicate over 'model'."""
+    col = P(STAGE_AXIS, None, MODEL_AXIS) if tp > 1 else P(STAGE_AXIS)
+    row = P(STAGE_AXIS, MODEL_AXIS, None) if tp > 1 else P(STAGE_AXIS)
+    vec = P(STAGE_AXIS, MODEL_AXIS) if tp > 1 else P(STAGE_AXIS)
     blocks = {k: P(STAGE_AXIS) for k in (
-        "attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
-        "bq", "bk", "bv", "q_norm", "k_norm",
+        "attn_norm", "ffn_norm", "q_norm", "k_norm",
         "router", "we_gate", "we_up", "we_down",
         "ws_gate", "ws_up", "ws_down",
-        "w_gate", "w_up", "w_down",
     )}
+    blocks.update({k: col for k in ("wq", "wk", "wv", "w_gate", "w_up")})
+    blocks.update({k: row for k in ("wo", "w_down")})
+    blocks.update({k: vec for k in ("bq", "bk", "bv")})
     specs = {"embed": P(), "blocks": blocks, "final_norm": P()}
     return specs
 
 
 def shard_params_pp(cfg: ModelConfig, params: dict,
                     mesh: jax.sharding.Mesh) -> dict:
-    specs = pp_param_specs(cfg)
+    specs = pp_param_specs(cfg, tp=_mesh_tp(mesh))
     blocks = {k: jax.device_put(v, NamedSharding(mesh, specs["blocks"][k]))
               for k, v in params["blocks"].items()}
     out = {
@@ -96,18 +119,39 @@ def make_pp_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
     ragged prompts use the TP serving path instead.
     """
     stages = mesh.shape[STAGE_AXIS]
+    tp = _mesh_tp(mesh)
     m = num_microbatches
     if cfg.num_layers % stages:
         raise ValueError(
             f"num_layers={cfg.num_layers} must divide by stages={stages}")
+    if tp > 1:
+        if cfg.is_moe:
+            raise ValueError(
+                "TP-within-stage supports dense blocks only — MoE expert "
+                "parallelism lives on the GSPMD path (parallel/sharding.py)")
+        if (cfg.num_heads % tp or cfg.num_kv_heads % tp
+                or cfg.intermediate_size % tp):
+            raise ValueError(
+                f"tp={tp} must divide num_heads={cfg.num_heads}, "
+                f"num_kv_heads={cfg.num_kv_heads} and "
+                f"intermediate_size={cfg.intermediate_size}")
 
     # Dispatch attention directly inside the stage body (current_mesh() is
     # deliberately NOT set here: the mesh axes are already manual inside
     # shard_map, and the dispatcher's shard_map wrappers must not nest).
     stage_cfg = cfg if cfg.attn_impl != "auto" else cfg.replace(
         attn_impl="reference" if jax.default_backend() != "tpu" else "auto")
+    if tp > 1:
+        # The stage body sees the PER-SHARD model: whole heads and FFN
+        # columns, so attention and swiglu run unchanged on local slices;
+        # _block_forward psums the row-parallel partials over 'model'.
+        stage_cfg = stage_cfg.replace(
+            num_heads=cfg.num_heads // tp,
+            num_kv_heads=cfg.num_kv_heads // tp,
+            intermediate_size=cfg.intermediate_size // tp)
 
-    block_fn = partial(_block_forward, stage_cfg)
+    block_fn = partial(_block_forward, stage_cfg,
+                       tp_axis=MODEL_AXIS if tp > 1 else None)
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
@@ -166,10 +210,22 @@ def make_pp_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
         aux = jax.lax.pmean(aux, DATA_AXIS)
         return outputs, aux
 
+    if tp > 1:
+        all_specs = pp_param_specs(cfg, tp=tp)["blocks"]
+        keys = ["attn_norm", "wq", "wk", "wv", "wo", "ffn_norm"]
+        if cfg.attention_bias:
+            keys += ["bq", "bk", "bv"]
+        if cfg.qk_norm:
+            keys += ["q_norm", "k_norm"]
+        keys += ["w_gate", "w_up", "w_down"]  # tp>1 is dense-only
+        blocks_spec = {k: all_specs[k] for k in keys}
+    else:
+        blocks_spec = P(STAGE_AXIS)
+
     smap = jax.shard_map(
         stage_loop,
         mesh=mesh,
-        in_specs=(P(STAGE_AXIS), P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(blocks_spec, P(None, DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(None, DATA_AXIS), P()),
         check_vma=False,
     )

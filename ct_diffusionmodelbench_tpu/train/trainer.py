@@ -298,10 +298,10 @@ class Trainer:
         # spread (Training_0to1k/train.py:116-122).
         self.mesh = None
         if train_cfg.pp > 1:
-            if train_cfg.tp > 1 or train_cfg.sp > 1:
+            if train_cfg.sp > 1:
                 raise ValueError(
-                    "pp composes with dp only (TP-within-stage is out of "
-                    "scope; see parallel/pipeline.py)")
+                    "pp composes with dp and tp, not sp (ring attention "
+                    "needs the GSPMD path; see parallel/pipeline.py)")
             from ct_diffusionmodelbench_tpu.parallel.pipeline import (
                 make_pp_forward, make_pp_mesh, shard_params_pp)
             m_pp = train_cfg.pp_microbatches or train_cfg.pp
@@ -313,7 +313,8 @@ class Trainer:
                 raise ValueError(
                     f"per-microbatch rows {train_cfg.batch_size // m_pp} "
                     f"must divide by dp={train_cfg.dp}")
-            self.mesh = make_pp_mesh(stages=train_cfg.pp, data=train_cfg.dp)
+            self.mesh = make_pp_mesh(stages=train_cfg.pp, data=train_cfg.dp,
+                                     model=train_cfg.tp)
             params = shard_params_pp(model_cfg, params, self.mesh)
             if forward_fn is None:
                 pp_fwd = make_pp_forward(model_cfg, self.mesh, m_pp,

@@ -95,6 +95,70 @@ def test_pp_gradients_match_dense():
             rtol=5e-5, atol=5e-6, err_msg=str(path))
 
 
+@pytest.mark.parametrize("name,stages,tp,data", [
+    ("llada-tiny", 2, 2, 1),    # plain GQA dense
+    ("llada-tiny", 2, 4, 1),    # wider TP than heads-per-stage is fine
+    ("llada-tiny", 2, 2, 2),    # full 3-axis dp x pp x tp
+    ("dream-tiny", 2, 2, 1),    # attention_bias + qk_norm param slicing
+])
+def test_pp_tp_logits_match_dense(name, stages, tp, data):
+    """TP-within-stage (megatron column/row split + in-block psum over the
+    'model' mesh axis) against the dense forward.  The reference has no
+    tensor-within-pipeline analogue at all — device_map='auto' places whole
+    layers (Training_0to1k/train.py:116-122)."""
+    cfg, params, ids = _setup(name=name, layers=4)
+    want, _ = make_forward_fn(cfg)(params, ids)
+
+    mesh = make_pp_mesh(stages, data=data, model=tp)
+    pp_params = shard_params_pp(cfg, params, mesh)
+    pp = jax.jit(make_pp_forward(cfg, mesh, num_microbatches=2))
+    got, _ = pp(pp_params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    assert (np.argmax(np.asarray(got), -1)
+            == np.argmax(np.asarray(want), -1)).all()
+
+
+def test_pp_tp_gradients_match_dense():
+    """Reverse schedule through the TP psums: psum's transpose is identity
+    broadcast, so column/row shards must receive exactly their slice of the
+    dense gradient."""
+    cfg, params, ids = _setup(layers=4)
+    fwd = make_forward_fn(cfg)
+
+    def loss_dense(p):
+        logits, _ = fwd(p, ids)
+        return jnp.mean(jnp.tanh(logits[..., :64]))
+
+    mesh = make_pp_mesh(2, model=2)
+    pp = make_pp_forward(cfg, mesh, num_microbatches=2)
+
+    def loss_pp(p):
+        logits, _ = pp(p, ids)
+        return jnp.mean(jnp.tanh(logits[..., :64]))
+
+    g_dense = jax.grad(loss_dense)(params)
+    g_pp = jax.jit(jax.grad(loss_pp))(shard_params_pp(cfg, params, mesh))
+    flat_d = jax.tree_util.tree_leaves_with_path(g_dense)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(g_pp))
+    for path, leaf in flat_d:
+        np.testing.assert_allclose(
+            np.asarray(flat_p[path]), np.asarray(leaf),
+            rtol=5e-5, atol=5e-6, err_msg=str(path))
+
+
+def test_pp_tp_validates():
+    cfg, params, ids = _setup(name="llada-moe-tiny", layers=4)
+    mesh = make_pp_mesh(2, model=2)
+    with pytest.raises(ValueError, match="dense blocks only"):
+        make_pp_forward(cfg, mesh, num_microbatches=2)
+
+    dense_cfg, _, _ = _setup(layers=4)
+    bad = dense_cfg.replace(num_heads=3, num_kv_heads=3)
+    with pytest.raises(ValueError, match="must divide"):
+        make_pp_forward(bad, mesh, num_microbatches=2)
+
+
 def test_pp_validates_divisibility():
     cfg, params, ids = _setup(layers=4)
     mesh = make_pp_mesh(stages=4)

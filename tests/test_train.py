@@ -498,9 +498,19 @@ def test_trainer_pipeline_parallel_matches_single_device(tmp_path):
     assert len(ref_losses) == len(pp_losses) >= 2
     np.testing.assert_allclose(pp_losses, ref_losses, rtol=5e-4, atol=5e-5)
 
+    # 3-axis composition: dp=2 x pp=2 x tp=2 (TP-within-stage) must walk
+    # the same loss trajectory.
+    t_3d = Trainer(cfg, init_params(cfg, jax.random.key(0)),
+                   TrainConfig(output_dir=str(tmp_path / "3d"), pp=2, dp=2,
+                               tp=2, pp_microbatches=2, **base), ds)
+    assert dict(t_3d.mesh.shape) == {"data": 2, "stage": 2, "model": 2}
+    t_3d.train()
+    d3_losses = [l["loss"] for l in t_3d.training_logs if "loss" in l]
+    np.testing.assert_allclose(d3_losses, ref_losses, rtol=5e-4, atol=5e-5)
+
     with pytest.raises(ValueError, match="pp composes"):
         Trainer(cfg, init_params(cfg, jax.random.key(0)),
-                TrainConfig(output_dir=str(tmp_path / "x"), pp=2, tp=2,
+                TrainConfig(output_dir=str(tmp_path / "x"), pp=2, sp=2,
                             **base), ds)
 
 
