@@ -43,7 +43,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ct_diffusionmodelbench_tpu.models.config import ModelConfig
 from ct_diffusionmodelbench_tpu.models.layers import rms_norm, rope_angles
-from ct_diffusionmodelbench_tpu.models.transformer import _block_forward
+from ct_diffusionmodelbench_tpu.models.transformer import (
+    _block_forward, token_positions)
 from ct_diffusionmodelbench_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 STAGE_AXIS = "stage"
@@ -114,9 +115,10 @@ def make_pp_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
     stack as a GPipe pipeline over the mesh's 'stage' axis.
 
     Constraints (checked): num_layers % stages == 0, batch % (data *
-    num_microbatches) == 0.  No attn_mask support in v1 (diffusion batches
-    are right-padded to a block-aligned length anyway); samplers that need
-    ragged prompts use the TP serving path instead.
+    num_microbatches) == 0.  ``attn_mask`` ([B, S], 1 = real) is supported
+    for left-padded batched eval: RoPE positions restart per row
+    (token_positions), and each stage selects the cos/sin/mask slice of the
+    microbatch it is processing that tick.
     """
     stages = mesh.shape[STAGE_AXIS]
     tp = _mesh_tp(mesh)
@@ -155,18 +157,24 @@ def make_pp_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
-    def run_local_layers(blocks_local, x, cos, sin):
+    def run_local_layers(blocks_local, x, cos, sin, mask):
         def body(carry, lp):
             x, aux = carry
-            x, aux_l = block_fn(x, lp, cos, sin, None)
+            x, aux_l = block_fn(x, lp, cos, sin, mask)
             return (x, aux + aux_l), None
         (x, aux), _ = jax.lax.scan(
             body, (x, jnp.zeros((), jnp.float32)), blocks_local)
         return x, aux
 
-    def stage_loop(blocks_local, xs, cos, sin):
+    def stage_loop(blocks_local, xs, cos, sin, mask=None):
         """Per-device GPipe schedule.  xs: [M, mb, S, D] microbatch stack
-        (replicated over 'stage'); blocks_local: this stage's layers."""
+        (replicated over 'stage'); blocks_local: this stage's layers.
+
+        ``cos``/``sin`` are microbatch-invariant ([mb, S, ...], the no-mask
+        arange positions) unless ``mask`` is given — then all three arrive
+        as full [M, ...] stacks and each stage selects the slice for the
+        microbatch it is processing THIS tick (index t - sid), since with
+        left-padded prompts RoPE positions differ per row."""
         sid = jax.lax.axis_index(STAGE_AXIS)
         ticks = m + stages - 1
         fwd_perm = [(i, i + 1) for i in range(stages - 1)]
@@ -182,7 +190,15 @@ def make_pp_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
                              jax.lax.dynamic_index_in_dim(xs, ridx, 0,
                                                           keepdims=False),
                              recv)
-            y, aux_t = run_local_layers(blocks_local, x_in, cos, sin)
+            if mask is None:
+                cos_t, sin_t, mask_t = cos, sin, None
+            else:
+                midx = jnp.clip(t - sid, 0, m - 1)
+                pick = lambda a: jax.lax.dynamic_index_in_dim(
+                    a, midx, 0, keepdims=False)
+                cos_t, sin_t, mask_t = pick(cos), pick(sin), pick(mask)
+            y, aux_t = run_local_layers(blocks_local, x_in, cos_t, sin_t,
+                                        mask_t)
             valid = jnp.logical_and(sid <= t, t < sid + m)
             aux = aux + jnp.where(valid, aux_t, 0.0)
             # Last stage banks its result at microbatch index t-(S-1);
@@ -229,21 +245,34 @@ def make_pp_forward(cfg: ModelConfig, mesh: jax.sharding.Mesh,
         out_specs=(P(None, DATA_AXIS), P()),
         check_vma=False,
     )
+    smap_masked = jax.shard_map(
+        stage_loop,
+        mesh=mesh,
+        in_specs=(blocks_spec, P(None, DATA_AXIS), P(None, DATA_AXIS),
+                  P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=(P(None, DATA_AXIS), P()),
+        check_vma=False,
+    )
 
-    def pp_forward(params, input_ids):
+    def pp_forward(params, input_ids, attn_mask=None):
         b, s = input_ids.shape
         if b % m:
             raise ValueError(f"batch={b} must divide by microbatches={m}")
         mb = b // m
         x = jnp.take(params["embed"], input_ids, axis=0)
-        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None],
-                                     (b, s))
+        positions = token_positions(attn_mask, b, s)
         cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
 
         xs = x.reshape(m, mb, s, -1)
-        cos_mb = cos.reshape(m, mb, s, -1)[0]
-        sin_mb = sin.reshape(m, mb, s, -1)[0]
-        hidden, aux = smap(params["blocks"], xs, cos_mb, sin_mb)
+        if attn_mask is None:
+            cos_mb = cos.reshape(m, mb, s, -1)[0]
+            sin_mb = sin.reshape(m, mb, s, -1)[0]
+            hidden, aux = smap(params["blocks"], xs, cos_mb, sin_mb)
+        else:
+            hidden, aux = smap_masked(
+                params["blocks"], xs,
+                cos.reshape(m, mb, s, -1), sin.reshape(m, mb, s, -1),
+                attn_mask.reshape(m, mb, s))
         hidden = hidden.reshape(b, s, -1)
 
         hidden = rms_norm(hidden, params["final_norm"], cfg.norm_eps)

@@ -319,9 +319,7 @@ class Trainer:
             if forward_fn is None:
                 pp_fwd = make_pp_forward(model_cfg, self.mesh, m_pp,
                                          remat=train_cfg.remat)
-                # Trainer's loss path always passes attn_mask=None; the
-                # GPipe forward has no mask support (pipeline.py docstring).
-                forward_fn = lambda p, ids, mask=None: pp_fwd(p, ids)
+                forward_fn = lambda p, ids, mask=None: pp_fwd(p, ids, mask)
         # DP x SP x TP mesh: shard params megatron-style and swap in the
         # sharded forward; batches are placed with the 'data' axis sharded
         # (and the sequence over 'seq' when sp > 1) below.

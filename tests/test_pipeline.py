@@ -147,6 +147,27 @@ def test_pp_tp_gradients_match_dense():
             rtol=5e-5, atol=5e-6, err_msg=str(path))
 
 
+@pytest.mark.parametrize("tp", [1, 2])
+def test_pp_masked_batch_matches_dense(tp):
+    """Left-padded prompts through the pipeline: per-row RoPE restart means
+    cos/sin/mask differ per microbatch, so each stage must select the slice
+    of the microbatch it is processing that tick (reference analogue:
+    batched eval left-pads, bench_models/llada.py tokenizer padding)."""
+    cfg, params, ids = _setup(layers=4)
+    mask = np.ones(ids.shape, np.int32)
+    mask[0, :7] = 0   # rows with different left-pad lengths
+    mask[2, :3] = 0
+    mask = jnp.asarray(mask)
+    want, _ = make_forward_fn(cfg)(params, ids, attn_mask=mask)
+
+    mesh = make_pp_mesh(2, model=tp)
+    pp_params = shard_params_pp(cfg, params, mesh)
+    pp = jax.jit(make_pp_forward(cfg, mesh, num_microbatches=2))
+    got, _ = pp(pp_params, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pp_tp_validates():
     cfg, params, ids = _setup(name="llada-moe-tiny", layers=4)
     mesh = make_pp_mesh(2, model=2)
