@@ -147,13 +147,14 @@ def test_pp_tp_gradients_match_dense():
             rtol=5e-5, atol=5e-6, err_msg=str(path))
 
 
-@pytest.mark.parametrize("tp", [1, 2])
-def test_pp_masked_batch_matches_dense(tp):
+@pytest.mark.parametrize("name,tp", [
+    ("llada-tiny", 1), ("llada-tiny", 2), ("llada-moe-tiny", 1)])
+def test_pp_masked_batch_matches_dense(name, tp):
     """Left-padded prompts through the pipeline: per-row RoPE restart means
     cos/sin/mask differ per microbatch, so each stage must select the slice
     of the microbatch it is processing that tick (reference analogue:
     batched eval left-pads, bench_models/llada.py tokenizer padding)."""
-    cfg, params, ids = _setup(layers=4)
+    cfg, params, ids = _setup(name=name, layers=4)
     mask = np.ones(ids.shape, np.int32)
     mask[0, :7] = 0   # rows with different left-pad lengths
     mask[2, :3] = 0
