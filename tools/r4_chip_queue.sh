@@ -1,7 +1,10 @@
 #!/bin/bash
 # Round-4 chip work queue: waits for the axon TPU backend to come back,
-# then runs the four pending measurements in sequence.  Survives builder
-# session restarts (run under nohup/background; logs to /tmp/r4q_*.log).
+# then runs the pending measurements in sequence.  Survives builder
+# session restarts (run under setsid/nohup; logs to /tmp/r4q_*.log).
+# Ordered by value-per-minute: compile gate (validates the nsub kernel
+# paths added during the outage), nsub A/B (VERDICT item 4), train-step
+# decomposition (item 6), moe_max ladder (item 7), bench --full (item 8).
 set -u
 cd /root/repo
 
@@ -14,16 +17,25 @@ until timeout 590 python -c "import jax; assert jax.default_backend() == 'tpu'" 
 done
 log "TPU back"
 
-if [ ! -f /tmp/r4q_done_moemax ]; then
-  log "1/4 sft_train_step_moe_max ladder"
-  timeout 5400 python bench_sweep.py --only sft_train_step_moe_max \
-    > /tmp/r4q_moemax.log 2>&1 && touch /tmp/r4q_done_moemax
-  log "moe_max rc=$?"
+if [ ! -f /tmp/r4q_done_gate ]; then
+  log "0/5 tpu_compile_check (nsub paths added during outage)"
+  timeout 2400 python tools/tpu_compile_check.py > /tmp/r4q_gate.log 2>&1 \
+    && touch /tmp/r4q_done_gate
+  log "gate rc=$?"
+  sleep 60
+fi
+
+if [ ! -f /tmp/r4q_done_nsub ]; then
+  log "1/5 nsub kernel sweep (batch 8)"
+  timeout 3600 python tools/xprof_sweep_r3.py --batches 8 \
+    --variants man_both_kloop,man_nsub2,man_nsub4,man_nsub8 \
+    > /tmp/r4q_nsub.log 2>&1 && touch /tmp/r4q_done_nsub
+  log "nsub rc=$?"
   sleep 150
 fi
 
 if [ ! -f /tmp/r4q_done_xtrain ]; then
-  log "2/4 xprof_train decomposition (dense 6L remat sweep, moe 2L)"
+  log "2/5 xprof_train decomposition (dense 6L remat sweep, moe 2L)"
   timeout 3600 python tools/xprof_train.py --layers 6 \
     --variants full,dots,none > /tmp/r4q_xtrain_dense.log 2>&1
   log "dense rc=$?"
@@ -35,17 +47,16 @@ if [ ! -f /tmp/r4q_done_xtrain ]; then
   sleep 150
 fi
 
-if [ ! -f /tmp/r4q_done_nsub ]; then
-  log "3/4 nsub kernel sweep (batch 8)"
-  timeout 3600 python tools/xprof_sweep_r3.py --batches 8 \
-    --variants man_both_kloop,man_nsub2,man_nsub4,man_nsub8 \
-    > /tmp/r4q_nsub.log 2>&1 && touch /tmp/r4q_done_nsub
-  log "nsub rc=$?"
+if [ ! -f /tmp/r4q_done_moemax ]; then
+  log "3/5 sft_train_step_moe_max ladder"
+  timeout 5400 python bench_sweep.py --only sft_train_step_moe_max \
+    > /tmp/r4q_moemax.log 2>&1 && touch /tmp/r4q_done_moemax
+  log "moe_max rc=$?"
   sleep 150
 fi
 
 if [ ! -f /tmp/r4q_done_bench ]; then
-  log "4/4 bench.py --full -> BENCH_LOCAL_r04.json"
+  log "4/5 bench.py --full -> BENCH_LOCAL_r04.json"
   CTDB_BENCH_BUDGET_S=1500 timeout 5400 python bench.py --full \
     --out BENCH_LOCAL_r04.json > /tmp/r4q_bench.log 2>&1 \
     && touch /tmp/r4q_done_bench
