@@ -29,8 +29,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
+import traceback
 
 import jax
 import numpy as np
@@ -66,6 +68,62 @@ def log(msg):
 
 
 _T0 = time.time()
+
+
+def wait_for_backend():
+    """Initialize the jax backend outage-resiliently; return its name or
+    None when the budget runs out first.
+
+    VERDICT r4: BENCH_r04 died at an unguarded ``jax.default_backend()``
+    ("Unable to initialize backend 'axon'") with 0 s of its 1200 s budget
+    spent, and the sibling dryrun HUNG in the same call.  So: probe in a
+    short-timeout subprocess (a hang can't eat the budget), retry while
+    budget remains (the pool historically returns within minutes —
+    CLAUDE.md), and only initialize in-process jax after a probe succeeds."""
+    attempts = 0
+    last = "never probed"
+    while True:
+        attempts += 1
+        probe_timeout = max(30.0, min(590.0, remaining() - 60))
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                timeout=probe_timeout, env=dict(os.environ))
+            if proc.returncode == 0 and proc.stdout.strip():
+                name = proc.stdout.strip().splitlines()[-1]
+                log(f"backend probe #{attempts}: '{name}' available")
+                return jax.default_backend()  # safe: probe just succeeded
+            last = (proc.stderr.strip().splitlines() or ["empty probe"])[-1][-200:]
+        except subprocess.TimeoutExpired:
+            last = f"probe hung >{probe_timeout:.0f}s"
+        log(f"backend probe #{attempts} failed ({last}); "
+            f"{remaining():.0f}s of budget left")
+        if remaining() < 150:
+            return None
+        time.sleep(min(30.0, max(0.0, remaining() - 120)))
+
+
+def emit_error_line(reason: str, extra=None):
+    """Final-failure path: ONE parseable JSON line on stdout, rc 0.
+
+    The driver records (rc, parsed-stdout); a traceback gives it nothing.
+    Keep the standard metric keys so the artifact schema is stable."""
+    result = {
+        "metric": "denoised_tokens_per_sec_per_chip",
+        "value": None,
+        "unit": "tok/s/chip",
+        "vs_baseline": None,
+        "error": reason,
+        "config": {
+            "budget_s": (round(_DEADLINE[0] - _T0, 1)
+                         if np.isfinite(_DEADLINE[0]) else None),
+            "elapsed_s": round(time.time() - _T0, 1),
+            **(extra or {}),
+        },
+    }
+    print(json.dumps(result), flush=True)
 
 
 def chip_peak_tflops() -> tuple[str, float]:
@@ -290,7 +348,9 @@ def headline_tpu(peak, n_chips):
 
 def full_extras(cfg, params, fwd, head, peak, n_chips):
     """--full only: batch sweep, accel rows, dense north-star sub-benchmark.
-    Mutates/extends a copy of the artifact dict; may take tens of minutes."""
+    Extends ``head`` in place — which is also result['config']['headline'],
+    so the --full artifact write picks the extras up; may take tens of
+    minutes."""
     rows = [dict(head_row_view(head))]
     for batch in (16, 32):
         log(f"sweep: batch {batch}")
@@ -409,14 +469,21 @@ def main():
                          "measuring (batch sweep, accel rows, dense "
                          "north-star) and write the superset artifact "
                          "to --out")
-    ap.add_argument("--out", default="BENCH_LOCAL_r04.json",
+    ap.add_argument("--out", default="BENCH_LOCAL_r05.json",
                     help="artifact path for --full extras")
     args = ap.parse_args()
 
     budget = float(os.environ.get("CTDB_BENCH_BUDGET_S", "1200"))
     _DEADLINE[0] = time.time() + budget
 
-    on_tpu = jax.default_backend() == "tpu"
+    backend = wait_for_backend()
+    if backend is None:
+        emit_error_line("backend_unavailable", {
+            "note": "axon TPU backend never initialized within the budget "
+                    "(probed in short-timeout subprocesses; pool down)"})
+        return
+
+    on_tpu = backend == "tpu"
     chip_kind, peak = chip_peak_tflops()
     n_chips = len(jax.devices())
 
@@ -503,4 +570,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — driver needs a parseable line
+        traceback.print_exc()
+        emit_error_line(f"{type(e).__name__}: {str(e)[:300]}")
