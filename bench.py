@@ -20,7 +20,7 @@ contention robustness comes from the device-plane companion number instead
 ``--full`` prints the same headline line first, then keeps measuring
 (batch sweep 16/32, Fast-dLLM accel rows, per-row on-chip companions, and
 the llada-2b dense north-star sub-benchmark) and writes the superset
-artifact to ``--out`` (default BENCH_LOCAL_r04.json) — stdout stays
+artifact to ``--out`` (default BENCH_LOCAL_r05.json) — stdout stays
 one-JSON-line clean either way.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.

@@ -404,9 +404,16 @@ def _bench_sft_moe_subprocess(section="sft_train_step_moe",
     # stopped round 3 at 2 layers.
     for layers in ladder:
         env = dict(os.environ, CTDB_BENCH_MOE_LAYERS=str(layers))
-        run = subprocess.run(
-            [sys.executable, __file__, "--only", section],
-            capture_output=True, text=True, timeout=3600, env=env)
+        try:
+            run = subprocess.run(
+                [sys.executable, __file__, "--only", section],
+                capture_output=True, text=True, timeout=3600, env=env)
+        except subprocess.TimeoutExpired:
+            # A hung attempt (remote compiles can take minutes, CLAUDE.md)
+            # is a failed rung, not a reason to abort the whole descent.
+            failed.append(layers)
+            time.sleep(150)
+            continue
         for line in reversed(run.stdout.strip().splitlines()):
             try:
                 row = json.loads(line).get(section)

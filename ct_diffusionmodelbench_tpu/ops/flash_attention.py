@@ -208,7 +208,12 @@ def _head_group(h, rep, dh, tq, sk_pad, itemsize=2):
 
     env = os.environ.get("CTDB_FLASH_HEAD_GROUP")
     if env:
-        return max(1, int(env))
+        # Fail-safe like _run_forward's divisibility fallback: a malformed
+        # override must not break every attention forward.
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
     if sk_pad > 1024:
         # long-S regime: per-program work is already large, and full-seq
         # k/v blocks would overflow VMEM at g > 1

@@ -289,7 +289,11 @@ def make_dream_sampler(
     return sample
 
 
+# Bounded FIFO, mirroring sampling/llada.py: identity-keyed entries from
+# callers that rebuild their forward fn per call must not grow the dict
+# without limit (each entry pins a traced+compiled sampler).
 _SAMPLER_CACHE: dict = {}
+_SAMPLER_CACHE_MAX = 64
 
 
 def dream_generate(
@@ -323,5 +327,7 @@ def dream_generate(
     sampler = _SAMPLER_CACHE.get(cache_key)
     if sampler is None:
         sampler = make_dream_sampler(forward_fn, sc, output_history)
+        while len(_SAMPLER_CACHE) >= _SAMPLER_CACHE_MAX:
+            _SAMPLER_CACHE.pop(next(iter(_SAMPLER_CACHE)))
         _SAMPLER_CACHE[cache_key] = sampler
     return sampler(params, prompt_ids, attn_mask=attn_mask, key=key)

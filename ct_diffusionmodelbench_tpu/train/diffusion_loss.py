@@ -112,8 +112,10 @@ def diffusion_sft_loss(
     an all-real batch — bit-identical to the unpadded computation).
 
     ``head_fn`` + ``ce_chunk``: chunked cross-entropy.  ``forward_fn`` must
-    then accept a 4th positional ``return_hidden`` flag and return FINAL
-    HIDDEN STATES when it is True (make_forward_fn's ``return_hidden``);
+    then accept a KEYWORD ``return_hidden`` flag and return FINAL
+    HIDDEN STATES when it is True (make_forward_fn's ``return_hidden``,
+    keyword-only there so a positional True cannot silently bind
+    ``logit_start``);
     ``head_fn(params, hidden_chunk)`` maps a chunk to its logits; per-token
     math is unchanged (see :func:`_chunked_ce`).  Used automatically by the
     trainer when L % ce_chunk == 0."""
@@ -131,7 +133,7 @@ def diffusion_sft_loss(
     answer_lengths = jnp.maximum(l - prompt_lengths, 1).astype(jnp.float32)  # [B]
 
     if head_fn is not None and ce_chunk and l % ce_chunk == 0:
-        hidden, aux = forward_fn(params, noisy, attn_mask, True)
+        hidden, aux = forward_fn(params, noisy, attn_mask, return_hidden=True)
         lse, target_logit = _chunked_ce(head_fn, params, hidden,
                                         input_ids, ce_chunk)
     else:

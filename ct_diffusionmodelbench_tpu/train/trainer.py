@@ -190,8 +190,8 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     if own_forward and train_cfg.ce_chunk:
         from ct_diffusionmodelbench_tpu.models.transformer import (
             lm_head_logits)
-        fwd = lambda p, ids, m, rh=False: forward_fn(  # noqa: E731
-            p, ids, m, return_hidden=rh)
+        fwd = lambda p, ids, m, *, return_hidden=False: forward_fn(  # noqa: E731
+            p, ids, m, return_hidden=return_hidden)
         ce_kw = dict(head_fn=lm_head_logits, ce_chunk=train_cfg.ce_chunk)
     else:
         fwd = lambda p, ids, m: forward_fn(p, ids, m)  # noqa: E731

@@ -88,6 +88,8 @@ def onchip_device_seconds(call) -> Optional[float]:
         from tensorflow.tsl.profiler.protobuf import xplane_pb2
     except Exception:
         return None
+    import shutil
+
     d = tempfile.mkdtemp(prefix="onchip_")
     try:
         with jax.profiler.trace(d):
@@ -100,6 +102,9 @@ def onchip_device_seconds(call) -> Optional[float]:
             xs.ParseFromString(f.read())
     except Exception:
         return None
+    finally:
+        # Trace dirs run tens of MB and bench/bench_sweep call this per row.
+        shutil.rmtree(d, ignore_errors=True)
     intervals = []
     for plane in xs.planes:
         if not plane.name.startswith("/device:TPU"):

@@ -566,7 +566,8 @@ def test_chunked_ce_matches_unchunked(tiny_dense):
 
     def loss_chunked(p, chunk):
         return diffusion_sft_loss(
-            lambda pp, i, m, rh=False: fwd(pp, i, m, return_hidden=rh),
+            lambda pp, i, m, *, return_hidden=False: fwd(
+                pp, i, m, return_hidden=return_hidden),
             p, ids, plens, MASK, key,
             head_fn=lm_head_logits, ce_chunk=chunk)[0]
 
