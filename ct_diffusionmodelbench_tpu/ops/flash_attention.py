@@ -115,6 +115,64 @@ def _flash_kernel(*refs, scale, tk, s_pad, with_lse, with_rope, g, rep):
             lse_ref[hj, :, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
+def _flash_kernel_direct(*refs, scale, with_lse, with_rope, g, rep):
+    """Single-kv-tile whole-problem kernel (the B=1 / short-S serving shape,
+    VERDICT r4 item 6): tk == s_pad, so the online-softmax carry collapses
+    to one direct softmax, and the f32 score tile + cast probability tile
+    live in TWO shared VMEM scratch buffers reused across the unrolled head
+    loop.  The generic kernel holds one f32 score tile PER unrolled head
+    (empirical, see _head_group), which caps the group at ~12 MB of scores
+    and forces >=2 programs at B=1 — sharing the tiles lets ALL heads ride
+    one program, amortizing dispatch + DMA warmup once per layer."""
+    if with_rope:
+        (q_ref, k_ref, v_ref, bias_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+         *rest) = refs
+    else:
+        q_ref, k_ref, v_ref, bias_ref, *rest = refs
+    if with_lse:
+        o_ref, lse_ref, s_ref, p_ref = rest
+    else:
+        o_ref, s_ref, p_ref = rest
+        lse_ref = None
+    dh = o_ref.shape[-1] // g
+
+    for hj in range(g):
+        q = q_ref[0, :, hj * dh:(hj + 1) * dh]
+        if with_rope:
+            q = _rope_rows(q, cq_ref[0], sq_ref[0]).astype(q_ref.dtype)
+        kj = hj // rep
+        k_blk = k_ref[0, :, kj * dh:(kj + 1) * dh]
+        if with_rope:
+            k_blk = _rope_rows(k_blk, ck_ref[0], sk_ref[0]).astype(k_ref.dtype)
+        v_blk = v_ref[0, :, kj * dh:(kj + 1) * dh]
+        s_ref[...] = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_ref[0, 0, :][None, :]
+        s = s_ref[...]
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[:, None])
+        l = jnp.sum(p, axis=-1)
+        p_ref[...] = p.astype(p_ref.dtype)
+        pv = jax.lax.dot_general(
+            p_ref[...], v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = pv / jnp.maximum(l, 1e-30)[:, None]
+        o_ref[0, :, hj * dh:(hj + 1) * dh] = out.astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[hj, :, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _direct_mode() -> str:
+    """CTDB_FLASH_DIRECT: '1' forces the shared-scratch direct kernel on
+    every single-kv-tile call, '0' forces it off; unset = 'auto' (off until
+    the chip A/B lands — tools/flash_group_ab.py --direct)."""
+    import os
+
+    return os.environ.get("CTDB_FLASH_DIRECT", "auto").strip().lower()
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -196,7 +254,7 @@ def _flash_core_rope(h, kv, dh, tq, tk, qf, kf, vf, bias, cq, sq, ck, sk):
     return of
 
 
-def _head_group(h, rep, dh, tq, sk_pad, itemsize=2):
+def _head_group(h, rep, dh, tq, sk_pad, itemsize=2, shared_scores=False):
     """Query heads per program.  Grouping amortizes per-program dispatch
     overhead — decisive at short S where each head's attention is ~10 us of
     MXU work (VERDICT r3 item 5) — but multiplies per-program VMEM, so the
@@ -233,7 +291,13 @@ def _head_group(h, rep, dh, tq, sk_pad, itemsize=2):
         kvg = max(1, g // rep)
         vmem = ((2 * tq * g + 2 * sk_pad * kvg) * dh * itemsize
                 + tq * sk_pad * 4)  # q+o, k+v, one f32 score tile
-        if vmem <= budget and g * tq * sk_pad * 4 <= scores_budget:
+        if shared_scores:
+            # Direct kernel: the score/prob tiles are explicit scratch
+            # shared across the head loop — no per-head stacking, so the
+            # only scores term is the fixed pair of scratch buffers.
+            if vmem + tq * sk_pad * itemsize <= budget:
+                best = g
+        elif vmem <= budget and g * tq * sk_pad * 4 <= scores_budget:
             best = g
     return best
 
@@ -245,15 +309,21 @@ def _run_forward(h, kv, dh, tq, tk, qf, kf, vf, bias, with_lse,
     rep = h // kv
     scale = dh ** -0.5
     with_rope = rope_flat is not None
-    g = _head_group(h, rep, dh, tq, sk_pad)
+    direct = sk_pad == tk and _direct_mode() == "1"
+    g = _head_group(h, rep, dh, tq, sk_pad, shared_scores=direct)
     if h % g or not (g % rep == 0 or rep % g == 0):  # bad env override
         g = 1
     kvg = max(1, g // rep)
 
     grid = (b, h // g, sq_pad // tq)
-    kernel = functools.partial(_flash_kernel, scale=scale, tk=tk,
-                               s_pad=sk_pad, with_lse=with_lse,
-                               with_rope=with_rope, g=g, rep=rep)
+    if direct:
+        kernel = functools.partial(_flash_kernel_direct, scale=scale,
+                                   with_lse=with_lse, with_rope=with_rope,
+                                   g=g, rep=rep)
+    else:
+        kernel = functools.partial(_flash_kernel, scale=scale, tk=tk,
+                                   s_pad=sk_pad, with_lse=with_lse,
+                                   with_rope=with_rope, g=g, rep=rep)
     o_spec = pl.BlockSpec((1, tq, g * dh), lambda bi, hi, qi: (bi, qi, hi),
                           memory_space=pltpu.VMEM)
     out_specs, out_shape = o_spec, jax.ShapeDtypeStruct((b, sq_pad, h * dh), qf.dtype)
@@ -306,14 +376,19 @@ def _run_forward(h, kv, dh, tq, tk, qf, kf, vf, bias, with_lse,
     blocks = (2 * tq * g + 2 * sk_pad * kvg) * dh * it + sk_pad * 4
     if with_rope:
         blocks += (2 * tq + 2 * sk_pad) * (dh // 2) * 4
-    scores = g * tq * sk_pad * 4
+    scores = (tq * sk_pad * (4 + it) if direct  # shared scratch pair
+              else g * tq * sk_pad * 4)
     vmem_limit = min(3 * blocks + scores + (6 << 20), 100 << 20)
+    scratch_shapes = ([pltpu.VMEM((tq, sk_pad), jnp.float32),
+                       pltpu.VMEM((tq, sk_pad), qf.dtype)]
+                      if direct else [])
     result = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq_pad * sk_pad * dh,

@@ -180,6 +180,53 @@ def test_head_group_sizes_agree(monkeypatch, g):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("b,s,h,kv,dh", [
+    (1, 320, 8, 8, 64),   # B=1 serving shape (single program, g=h)
+    (2, 200, 8, 2, 64),   # GQA + batch
+    (1, 24, 4, 4, 32),    # tiny
+])
+def test_direct_kernel_matches_reference(monkeypatch, b, s, h, kv, dh):
+    """CTDB_FLASH_DIRECT=1 (shared-scratch single-kv-tile kernel, VERDICT r4
+    item 6) is numerically identical to the reference, masked + fused-rope
+    included."""
+    from ct_diffusionmodelbench_tpu.models.layers import apply_rope
+
+    monkeypatch.setenv("CTDB_FLASH_DIRECT", "1")
+    q, k, v = _qkv(b, s, h, kv, dh, seed=21)
+    mask = (jax.random.uniform(jax.random.key(22), (b, s)) > 0.2
+            ).astype(jnp.int32)
+    for m in (None, mask):
+        ours = flash_attention(q, k, v, m)
+        ref = attention_reference(q, k, v, m)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+    cos, sin = _rope_tables(b, s, dh)
+    got = flash_attention(q, k, v, mask=mask, rope=(cos, sin))
+    want = attention_reference(apply_rope(q, cos, sin),
+                               apply_rope(k, cos, sin), v, mask=mask)
+    mm = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(got)[mm], np.asarray(want)[mm],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_direct_kernel_backward(monkeypatch):
+    """The direct kernel's lse output feeds the standard backward pair."""
+    monkeypatch.setenv("CTDB_FLASH_DIRECT", "1")
+    q, k, v = _qkv(1, 96, 4, 2, 32, seed=23)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+
 def test_head_group_backward(monkeypatch):
     """lse block layout under grouping feeds the backward correctly."""
     monkeypatch.setenv("CTDB_FLASH_HEAD_GROUP", "4")

@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--heads", type=int, default=32)
     ap.add_argument("--kv", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--direct", action="store_true",
+                    help="also A/B the shared-scratch direct kernel "
+                         "(CTDB_FLASH_DIRECT=1)")
     args = ap.parse_args()
 
     h, kv, dh, b = args.heads, args.kv, 128, args.batch
@@ -78,6 +81,31 @@ def main():
                       f"{str(e)[:100]}")
             finally:
                 os.environ.pop("CTDB_FLASH_HEAD_GROUP", None)
+        if args.direct:
+            # Shared-scratch direct kernel (VERDICT r4 item 6): auto head
+            # group (usually g=h → ONE program at B=1), plus the same
+            # explicit-g ladder for attribution.
+            for g in [0] + [int(x) for x in args.groups.split(",")]:
+                if g and (h % g or not (g % (h // kv) == 0
+                                        or (h // kv) % g == 0)):
+                    continue
+                os.environ["CTDB_FLASH_DIRECT"] = "1"
+                if g:
+                    os.environ["CTDB_FLASH_HEAD_GROUP"] = str(g)
+                try:
+                    t = time_loop(
+                        lambda q_, k_, v_: attention(
+                            q_, k_, v_, impl="pallas", rope=(cos, sin)),
+                        (q, k, v), iters=iters)
+                    gl = f"g={g:3d}" if g else "g=auto"
+                    print(f"          direct {gl} {t*1e3:7.3f} ms  "
+                          f"speedup {t_ref/t:5.2f}x")
+                except Exception as e:
+                    print(f"          direct g={g} FAILED "
+                          f"{type(e).__name__}: {str(e)[:100]}")
+                finally:
+                    os.environ.pop("CTDB_FLASH_DIRECT", None)
+                    os.environ.pop("CTDB_FLASH_HEAD_GROUP", None)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,32 @@ def _flash_fwd_grouped():
         np.asarray(jax.jit(flash_attention)(q, kv, v))
 
 
+@check("flash_direct")
+def _flash_direct():
+    """The shared-scratch direct kernel (CTDB_FLASH_DIRECT=1, VERDICT r4
+    item 6) at the B=1 serving geometries it targets — with the shared
+    score/prob scratch the head group can reach g=h (one program), a
+    Mosaic-side config interpret mode cannot vouch for."""
+    import os
+
+    from ct_diffusionmodelbench_tpu.ops.flash_attention import flash_attention
+
+    os.environ["CTDB_FLASH_DIRECT"] = "1"
+    try:
+        for (b, s, h) in ((1, 320, 32), (1, 512, 32), (1, 1024, 32)):
+            ks = jax.random.split(jax.random.key(7), 3)
+            q = jax.random.normal(ks[0], (b, s, h, 128), jnp.bfloat16)
+            kv = jax.random.normal(ks[1], (b, s, h, 128), jnp.bfloat16)
+            v = jax.random.normal(ks[2], (b, s, h, 128), jnp.bfloat16)
+            cos = jnp.ones((b, s, 64), jnp.float32)
+            sin = jnp.zeros((b, s, 64), jnp.float32)
+            np.asarray(jax.jit(flash_attention)(q, kv, v))
+            np.asarray(jax.jit(
+                lambda *a: flash_attention(*a, rope=(cos, sin)))(q, kv, v))
+    finally:
+        os.environ.pop("CTDB_FLASH_DIRECT", None)
+
+
 @check("flash_bwd")
 def _flash_bwd():
     from ct_diffusionmodelbench_tpu.ops.flash_attention import flash_attention

@@ -39,7 +39,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from xprof_ffn import collect_xspace  # noqa: E402
 
 
-def build_step(remat, layers, seq, accum, batch, model, opt_dtype):
+def build_step(remat, layers, seq, accum, batch, model, opt_dtype,
+               ce_chunk=256):
     import jax
     import jax.numpy as jnp
 
@@ -51,6 +52,7 @@ def build_step(remat, layers, seq, accum, batch, model, opt_dtype):
     tcfg = TrainConfig(learning_rate=5e-5, grad_accum=accum,
                        batch_size=batch, max_length=seq, remat=remat,
                        optimizer_state_dtype=opt_dtype,
+                       ce_chunk=ce_chunk,
                        grad_accum_dtype=("bfloat16" if opt_dtype == "int8"
                                          else "float32"))
     params = init_params(cfg, jax.random.key(0))
@@ -142,11 +144,12 @@ def decompose(events):
     return buckets, tops
 
 
-def run_variant(remat, layers, seq, accum, batch, model, opt_dtype, reps=3):
+def run_variant(remat, layers, seq, accum, batch, model, opt_dtype, reps=3,
+                ce_chunk=256):
     import jax
 
     cfg, step, params, opt_state, ids, plens = build_step(
-        remat, layers, seq, accum, batch, model, opt_dtype)
+        remat, layers, seq, accum, batch, model, opt_dtype, ce_chunk=ce_chunk)
     key = jax.random.key(2)
     params, opt_state, m = step(params, opt_state, ids, plens, key)
     np.asarray(m["loss"])  # compile + warm
@@ -175,7 +178,7 @@ def run_variant(remat, layers, seq, accum, batch, model, opt_dtype, reps=3):
     return {
         "remat": str(remat), "layers": layers, "seq": seq,
         "accum": accum, "microbatch": batch, "model": model,
-        "opt_dtype": opt_dtype,
+        "opt_dtype": opt_dtype, "ce_chunk": ce_chunk,
         "params_total_b": round(nparams / 1e9, 3),
         "wall_s_per_step": round(wall, 3),
         "onchip_s_per_step": round(span, 3),
@@ -196,6 +199,13 @@ def main():
     ap.add_argument("--opt-dtype", type=str, default="float32")
     ap.add_argument("--variants", type=str, default="full,dots,none")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--ce-chunks", type=str, default="256",
+                    help="comma list; 0 = unchunked full-logits CE.  The "
+                         "chunk-loop backward accumulates a FULL [D, V] "
+                         "head cotangent PER CHUNK (lax.map over "
+                         "jax.checkpoint'ed chunks), so vocab-grad HBM "
+                         "traffic scales with seq/chunk — sweep to find "
+                         "the memory/traffic knee")
     args = ap.parse_args()
 
     name_to_remat = {"full": True, "dots": "dots", "none": False}
@@ -207,15 +217,17 @@ def main():
         os.environ["CTDB_MOE_STACKED"] = "0"
     rows = []
     for v in args.variants.split(","):
-        try:
-            row = run_variant(name_to_remat[v], args.layers, args.seq,
-                              args.accum, args.batch, args.model,
-                              args.opt_dtype, reps=args.reps)
-        except Exception as e:
-            row = {"remat": v,
-                   "error": f"{type(e).__name__}: {str(e)[:200]}"}
-        print(json.dumps(row), flush=True)
-        rows.append(row)
+        for cc in (int(x) for x in args.ce_chunks.split(",")):
+            try:
+                row = run_variant(name_to_remat[v], args.layers, args.seq,
+                                  args.accum, args.batch, args.model,
+                                  args.opt_dtype, reps=args.reps,
+                                  ce_chunk=cc)
+            except Exception as e:
+                row = {"remat": v, "ce_chunk": cc,
+                       "error": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(json.dumps(row), flush=True)
+            rows.append(row)
     with open("/tmp/xprof_train.json", "w") as f:
         json.dump(rows, f, indent=2)
 
