@@ -7,7 +7,11 @@ trainable dense model at ~0.83B params (f32 params + 2x f32 moments + grads
 
 - ``bfloat16`` — straight cast, 2x state shrink, or
 - ``int8``    — blockwise linear quantization (per-256-value f32 absmax
-  scale, the bitsandbytes-style layout), 4x state shrink
+  scale, the bitsandbytes-style block size), 4x state shrink.  Blocks run
+  along each leaf's MINOR axis with q kept in the leaf's own shape
+  (layout-native: the update never leaves the tensor's T(8,128) tiling),
+  falling back to the flat [Nb, 256] layout for leaves no block divides —
+  see Quantized.
 
 while every *update* is computed in f32 (dequantize -> Adam math ->
 requantize), so the optimizer dynamics stay close to f32 Adam; the oracle
@@ -40,16 +44,65 @@ QUANT_BLOCK = 256
 CHUNK_ROWS = 32768
 
 
+def _chunk_rows(r: int, target: int) -> int:
+    """Largest divisor of ``r`` that is <= ``target`` (at least 1) — the
+    rowwise-chunked Adam path maps over leading-row chunks and a divisor
+    avoids padding the leaf (a whole-tensor copy) just to chunk it."""
+    best, d = 1, 1
+    while d * d <= r:
+        if r % d == 0:
+            if d <= target:
+                best = max(best, d)
+            if r // d <= target:
+                best = max(best, r // d)
+        d += 1
+    return best
+
+
 class Quantized(NamedTuple):
-    """Blockwise linear-quantized tensor: q int8 [Nb, B], scale f32 [Nb, 1],
-    plus the original shape captured by ``meta`` (a zero-size f32 array whose
-    shape is the unquantized shape — keeps the pytree leaf-only)."""
+    """Blockwise linear-quantized tensor in one of two layouts:
+
+    - **rowwise** (layout-native): q int8 with the ORIGINAL shape, scale f32
+      ``shape[:-1] + (G,)`` — blocks are minor-axis runs, so quantize /
+      dequantize / the Adam update are pure elementwise+minor-reduce ops in
+      the tensor's own T(8,128) tiling.  The old flatten-to-[Nb, 256] layout
+      forced XLA to DETILE every big leaf twice per optimizer step (the
+      round-5 train decomposition measured the epilogue at ~10x its HBM
+      floor, dominated by relayout copies).
+    - **flat** (fallback for leaves whose minor dim no block divides):
+      q int8 [Nb, B], scale f32 [Nb, 1] over row-major 256-runs.
+
+    ``meta`` is a zero-size f32 array whose trailing dims record the
+    unquantized shape (keeps the pytree leaf-only); the layouts are told
+    apart by ``q.shape == meta.shape[1:]``."""
     q: jnp.ndarray
     scale: jnp.ndarray
     meta: jnp.ndarray
 
 
+def _row_block(shape, block: int = QUANT_BLOCK):
+    """Largest of (block, 128) dividing the minor dim of a >=2D shape, or
+    None when only the flat layout applies.  128 exists for minor dims like
+    the MoE Fm=896 (= 7*128) that 256 does not divide."""
+    if len(shape) < 2:
+        return None
+    for b in (block, 128):
+        if shape[-1] % b == 0:
+            return b
+    return None
+
+
 def quantize_int8(x: jnp.ndarray, block: int = QUANT_BLOCK) -> Quantized:
+    meta = jnp.zeros((0,) + tuple(x.shape), jnp.float32)
+    rb = _row_block(x.shape, block)
+    if rb is not None:
+        g = x.shape[-1] // rb
+        xg = x.astype(jnp.float32).reshape(x.shape[:-1] + (g, rb))
+        absmax = jnp.max(jnp.abs(xg), axis=-1)
+        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)   # [..., G]
+        q = jnp.clip(jnp.round(xg / scale[..., None]), -127, 127)
+        return Quantized(q=q.astype(jnp.int8).reshape(x.shape), scale=scale,
+                         meta=meta)
     flat = x.astype(jnp.float32).reshape(-1)
     n = flat.shape[0]
     pad = (-n) % block
@@ -58,12 +111,20 @@ def quantize_int8(x: jnp.ndarray, block: int = QUANT_BLOCK) -> Quantized:
     absmax = jnp.max(jnp.abs(blocks), axis=1, keepdims=True)
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     q = jnp.clip(jnp.round(blocks / scale), -127, 127).astype(jnp.int8)
-    meta = jnp.zeros((0,) + tuple(x.shape), jnp.float32)
     return Quantized(q=q, scale=scale, meta=meta)
+
+
+def _is_rowwise(t: Quantized) -> bool:
+    return t.q.shape == t.meta.shape[1:]
 
 
 def dequantize_int8(t: Quantized) -> jnp.ndarray:
     shape = t.meta.shape[1:]
+    if _is_rowwise(t):
+        g = t.scale.shape[-1]
+        rb = shape[-1] // g
+        xg = t.q.astype(jnp.float32).reshape(shape[:-1] + (g, rb))
+        return (xg * t.scale[..., None]).reshape(shape)
     n = 1
     for d in shape:
         n *= d
@@ -85,6 +146,14 @@ def dequantize_err(t: Quantized) -> jnp.ndarray:
     """Per-element dequantization error bound of ``t``, in its original
     shape (each element carries its block's half-step; see _quant_err)."""
     shape = t.meta.shape[1:]
+    if _is_rowwise(t):
+        g = t.scale.shape[-1]
+        rb = shape[-1] // g
+        qg = t.q.reshape(shape[:-1] + (g, rb))
+        nonzero = jnp.any(qg != 0, axis=-1)
+        err = jnp.where(nonzero, 0.5 * t.scale, 0.0)
+        return jnp.broadcast_to(err[..., None],
+                                shape[:-1] + (g, rb)).reshape(shape)
     n = 1
     for d in shape:
         n *= d
@@ -221,8 +290,62 @@ def scale_by_adam_lowp(
                                scale=unrows(sn, 1), meta=nu_q.meta)
             return upd, new_mu, new_nu
 
+        def leaf_int8_rowwise_chunked(g, mu_q, nu_q):
+            """Int8 leaf update in the layout-native rowwise layout, chunked
+            over LEADING rows: per-step f32 temps stay ~CHUNK_ROWS *
+            QUANT_BLOCK elements, and every op (dequant, Adam math, requant)
+            runs in the leaf's own tiling — minor-axis group reshapes and
+            leading-dim merges only, no detile copies (the flat [Nb, 256]
+            path detiled each big leaf twice per step; round-5 decomposition
+            measured the epilogue at ~10x its HBM floor)."""
+            shape = g.shape
+            w = shape[-1]
+            gq = mu_q.scale.shape[-1]
+            rb = w // gq
+            r = g.size // w
+            rpc = _chunk_rows(r, max(1, (CHUNK_ROWS * QUANT_BLOCK) // w))
+            nc = r // rpc
+
+            def grp(x):
+                return x.reshape(nc, rpc, gq, rb)
+
+            def scl(s):
+                return s.reshape(nc, rpc, gq, 1)
+
+            def one(args):
+                gc, qm, sm, qn, sn = args
+                nz = jnp.any(qn != 0, axis=-1, keepdims=True)
+                upd, mu, nu = adam_math(
+                    gc.astype(jnp.float32),
+                    qm.astype(jnp.float32) * sm,
+                    qn.astype(jnp.float32) * sn,
+                    nu_err=jnp.where(nz, 0.5 * sn, 0.0))
+
+                def quant(x):
+                    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                    s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+                    q = jnp.clip(jnp.round(x / s), -127, 127)
+                    return q.astype(jnp.int8), s
+
+                qm2, sm2 = quant(mu)
+                qn2, sn2 = quant(nu)
+                return upd.astype(u_dt), qm2, sm2, qn2, sn2
+
+            upd, qm, sm, qn, sn = jax.lax.map(
+                one, (grp(g), grp(mu_q.q), scl(mu_q.scale),
+                      grp(nu_q.q), scl(nu_q.scale)))
+            new_mu = Quantized(q=qm.reshape(shape),
+                               scale=sm.reshape(mu_q.scale.shape),
+                               meta=mu_q.meta)
+            new_nu = Quantized(q=qn.reshape(shape),
+                               scale=sn.reshape(nu_q.scale.shape),
+                               meta=nu_q.meta)
+            return upd.reshape(shape), new_mu, new_nu
+
         def leaf(g, mu_q, nu_q):
             if state_dtype == "int8" and g.size > CHUNK_ROWS * QUANT_BLOCK:
+                if _is_rowwise(mu_q):
+                    return leaf_int8_rowwise_chunked(g, mu_q, nu_q)
                 return leaf_int8_chunked(g, mu_q, nu_q)
             nu_err = dequantize_err(nu_q) if state_dtype == "int8" else 0.0
             upd, mu, nu = adam_math(g.astype(jnp.float32),

@@ -651,6 +651,116 @@ def test_adam_bf16_updates_track_f32_updates(state_dtype):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
 
 
+@pytest.mark.parametrize("shape,want_scale", [
+    ((8, 512), (8, 2)),     # rowwise, block 256
+    ((4, 6, 384), (4, 6, 3)),  # rowwise, block 128 (384 = 3*128)
+    ((70, 37), None),       # flat fallback (nothing divides 37)
+    ((13,), None),          # flat fallback (1D)
+])
+def test_int8_quantize_roundtrip_layouts(shape, want_scale):
+    """Layout-native rowwise quantization (q keeps the leaf's shape; blocks
+    along the minor axis — no detile copies in the optimizer epilogue) and
+    the flat fallback both roundtrip within half a quantization step."""
+    from ct_diffusionmodelbench_tpu.train.optim import (
+        dequantize_err, dequantize_int8, quantize_int8)
+
+    x = jax.random.normal(jax.random.key(0), shape) * \
+        (1 + 10 * jax.random.uniform(jax.random.key(1), shape))
+    t = quantize_int8(x)
+    if want_scale is not None:
+        assert t.q.shape == shape and t.scale.shape == want_scale
+    else:
+        assert t.q.ndim == 2 and t.q.shape[1] == 256
+    back = dequantize_int8(t)
+    err = dequantize_err(t)
+    assert err.shape == tuple(shape)
+    assert np.all(np.abs(np.asarray(back) - np.asarray(x))
+                  <= np.asarray(err) + 1e-7)
+    # all-zero tensors must carry zero error (guard-scale blocks)
+    tz = quantize_int8(jnp.zeros(shape))
+    assert np.abs(np.asarray(dequantize_err(tz))).max() == 0
+
+
+def test_int8_adam_rowwise_chunked_matches(monkeypatch):
+    """The rowwise-chunked int8 Adam path (optim.py
+    leaf_int8_rowwise_chunked — lax.map over leading-row chunks in the
+    leaf's native layout) runs the same math as the whole-leaf path."""
+    import optax
+
+    from ct_diffusionmodelbench_tpu.train import optim as optim_mod
+    from ct_diffusionmodelbench_tpu.train.optim import adamw_lowp
+
+    params = {"w": jax.random.normal(jax.random.key(0), (12, 512)),
+              "e": jax.random.normal(jax.random.key(2), (3, 5, 384))}
+
+    def run():
+        opt = adamw_lowp(1e-2, weight_decay=0.01, state_dtype="int8")
+        state = opt.init(params)
+        assert all(optim_mod._is_rowwise(t)
+                   for t in jax.tree.leaves(
+                       state[0].mu, is_leaf=lambda x: hasattr(x, "meta")))
+        p = params
+        for i in range(4):
+            g = jax.tree.map(lambda x, i=i: 0.1 * x + 0.01 * i, p)
+            upd, state = opt.update(g, state, p)
+            p = optax.apply_updates(p, upd)
+        return p, state
+
+    plain, st_plain = run()
+    # w has 6144 elts, e 5760: > CHUNK_ROWS*QUANT_BLOCK once patched to 8
+    monkeypatch.setattr(optim_mod, "CHUNK_ROWS", 2)
+    monkeypatch.setattr(optim_mod, "QUANT_BLOCK", 256)
+    chunked, st_chunk = run()
+    for a, b in zip(jax.tree.leaves(plain), jax.tree.leaves(chunked)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(st_plain), jax.tree.leaves(st_chunk)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int8:
+            assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+        else:
+            np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
+
+
+def test_int8_adam_legacy_flat_state_still_updates(monkeypatch):
+    """A checkpoint whose int8 moments were saved in the old flat [Nb, 256]
+    layout (pre-rowwise) must keep training: the update dispatches on the
+    stored layout, not on what quantize_int8 would produce today."""
+    import optax
+
+    from ct_diffusionmodelbench_tpu.train import optim as optim_mod
+    from ct_diffusionmodelbench_tpu.train.optim import adamw_lowp
+
+    params = {"w": jax.random.normal(jax.random.key(0), (12, 512))}
+    opt = adamw_lowp(1e-2, weight_decay=0.01, state_dtype="int8")
+
+    monkeypatch.setattr(optim_mod, "_row_block", lambda *a, **k: None)
+    state = opt.init(params)  # legacy flat layout
+    monkeypatch.undo()
+    assert not optim_mod._is_rowwise(state[0].mu["w"])
+
+    def steps(state, n=3):
+        p = params
+        for i in range(n):
+            g = jax.tree.map(lambda x, i=i: 0.1 * x + 0.01 * i, p)
+            upd, state = opt.update(g, state, p)
+            p = optax.apply_updates(p, upd)
+        return p, state
+
+    # Unchunked path: re-encode migrates the leaf to rowwise (harmless —
+    # the stored moments are requantized every step anyway).
+    p, st2 = steps(state)
+    assert optim_mod._is_rowwise(st2[0].mu["w"])
+    assert np.isfinite(np.asarray(p["w"])).all()
+    assert np.abs(np.asarray(p["w"]) - np.asarray(params["w"])).max() > 0
+
+    # Chunked path (leaf_int8_chunked) keeps the flat layout as-is.
+    monkeypatch.setattr(optim_mod, "CHUNK_ROWS", 2)
+    p, st3 = steps(state)
+    assert not optim_mod._is_rowwise(st3[0].mu["w"])
+    assert np.isfinite(np.asarray(p["w"])).all()
+
+
 def test_int8_adam_chunked_update_matches(monkeypatch):
     """The chunked int8 Adam path (optim.py leaf_int8_chunked — per-
     CHUNK_ROWS lax.map over the quantized layout) runs the same math as
