@@ -166,8 +166,15 @@ def _flash_kernel_direct(*refs, scale, with_lse, with_rope, g, rep):
 
 def _direct_mode() -> str:
     """CTDB_FLASH_DIRECT: '1' forces the shared-scratch direct kernel on
-    every single-kv-tile call, '0' forces it off; unset = 'auto' (off until
-    the chip A/B lands — tools/flash_group_ab.py --direct)."""
+    every single-kv-tile call, '0' forces it off; unset = 'auto' = off.
+
+    Measured negative (PERF.json attention_b1_direct_negative, 2026-08-19):
+    the direct kernel times identically to the grouped kernel (+-3%) at
+    every B in {1,8}, S in {320,512,1024} — collapsing the grid to ONE
+    program does not move the B=1 short-S gap to XLA, so that gap is fixed
+    custom-call + DMA-warmup overhead, and XLA keeps the short-S dispatch
+    (ops/attention.py threshold).  The knob stays for future
+    hardware/toolchain revisions."""
     import os
 
     return os.environ.get("CTDB_FLASH_DIRECT", "auto").strip().lower()
