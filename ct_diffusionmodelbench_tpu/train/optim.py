@@ -297,7 +297,13 @@ def scale_by_adam_lowp(
             runs in the leaf's own tiling — minor-axis group reshapes and
             leading-dim merges only, no detile copies (the flat [Nb, 256]
             path detiled each big leaf twice per step; round-5 decomposition
-            measured the epilogue at ~10x its HBM floor)."""
+            measured the epilogue at ~10x its HBM floor).
+
+            The chunk loop is a fori_loop slicing inputs / updating outputs
+            in place on the leading dim — an earlier lax.map formulation
+            stacked operands into [nc, rpc, G, B] arrays, and XLA chose
+            permuted scan-operand layouts ({3,1,2,0} copies, ~3 ms each on
+            the 126464-row embed; round-5 ce_chunk sweep trace)."""
             shape = g.shape
             w = shape[-1]
             gq = mu_q.scale.shape[-1]
@@ -306,34 +312,39 @@ def scale_by_adam_lowp(
             rpc = _chunk_rows(r, max(1, (CHUNK_ROWS * QUANT_BLOCK) // w))
             nc = r // rpc
 
-            def grp(x):
-                return x.reshape(nc, rpc, gq, rb)
+            g3 = g.reshape(r, gq, rb)
+            qm3 = mu_q.q.reshape(r, gq, rb)
+            sm3 = mu_q.scale.reshape(r, gq, 1)
+            qn3 = nu_q.q.reshape(r, gq, rb)
+            sn3 = nu_q.scale.reshape(r, gq, 1)
 
-            def scl(s):
-                return s.reshape(nc, rpc, gq, 1)
-
-            def one(args):
-                gc, qm, sm, qn, sn = args
-                nz = jnp.any(qn != 0, axis=-1, keepdims=True)
+            def body(i, carry):
+                upd_o, qm_o, sm_o, qn_o, sn_o = carry
+                s = i * rpc
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(x, s, rpc, 0)
+                qn_c, sn_c = sl(qn3), sl(sn3)
+                nz = jnp.any(qn_c != 0, axis=-1, keepdims=True)
                 upd, mu, nu = adam_math(
-                    gc.astype(jnp.float32),
-                    qm.astype(jnp.float32) * sm,
-                    qn.astype(jnp.float32) * sn,
-                    nu_err=jnp.where(nz, 0.5 * sn, 0.0))
+                    sl(g3).astype(jnp.float32),
+                    sl(qm3).astype(jnp.float32) * sl(sm3),
+                    qn_c.astype(jnp.float32) * sn_c,
+                    nu_err=jnp.where(nz, 0.5 * sn_c, 0.0))
 
                 def quant(x):
                     absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-                    s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-                    q = jnp.clip(jnp.round(x / s), -127, 127)
-                    return q.astype(jnp.int8), s
+                    sc = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+                    q = jnp.clip(jnp.round(x / sc), -127, 127)
+                    return q.astype(jnp.int8), sc
 
                 qm2, sm2 = quant(mu)
                 qn2, sn2 = quant(nu)
-                return upd.astype(u_dt), qm2, sm2, qn2, sn2
+                ups = lambda buf, val: jax.lax.dynamic_update_slice_in_dim(
+                    buf, val, s, 0)
+                return (ups(upd_o, upd.astype(u_dt)), ups(qm_o, qm2),
+                        ups(sm_o, sm2), ups(qn_o, qn2), ups(sn_o, sn2))
 
-            upd, qm, sm, qn, sn = jax.lax.map(
-                one, (grp(g), grp(mu_q.q), scl(mu_q.scale),
-                      grp(nu_q.q), scl(nu_q.scale)))
+            init = (jnp.zeros((r, gq, rb), u_dt), qm3, sm3, qn3, sn3)
+            upd, qm, sm, qn, sn = jax.lax.fori_loop(0, nc, body, init)
             new_mu = Quantized(q=qm.reshape(shape),
                                scale=sm.reshape(mu_q.scale.shape),
                                meta=mu_q.meta)

@@ -103,8 +103,14 @@ class TrainConfig:
     # cuts that ~L/chunk x with bit-identical per-token math
     # (train/diffusion_loss.py _chunked_ce).  Applied only when
     # max_length % ce_chunk == 0; raises the deepest-MoE-that-trains
-    # ceiling on one chip.
-    ce_chunk: int = 256
+    # ceiling on one chip.  Default 512: the chunk-loop backward
+    # accumulates a FULL [D, V] head cotangent per chunk, so smaller
+    # chunks pay vocab-grad HBM traffic ~ L/chunk — the round-5 on-chip
+    # sweep (dense 6L, int8 Adam) measured onchip train-MFU 0.377 / 0.412 /
+    # 0.399 / 0.408 at chunks 256 / 512 / 1024 / 2048 (tools/xprof_train.py
+    # --ce-chunks); 512 keeps most of the memory win (~322 MB live logits
+    # at V=157k) and the traffic knee.
+    ce_chunk: int = 512
     drop_last: bool = True
     # Mesh axes (dp*tp*sp > 1 shards the run: batch over 'data', params
     # megatron-style over 'model', sequence over 'seq' via ring attention).
