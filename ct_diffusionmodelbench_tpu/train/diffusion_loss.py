@@ -122,7 +122,8 @@ def diffusion_sft_loss(
     ``logit_start``);
     ``head_fn(params, hidden_chunk)`` maps a chunk to its logits; per-token
     math is unchanged (see :func:`_chunked_ce`).  Used automatically by the
-    trainer when L % ce_chunk == 0."""
+    trainer; a ce_chunk that doesn't divide L shrinks to L's largest
+    divisor >= 64 (unchunked only below that)."""
     if mask_variant not in ("recompute", "pre_restore"):
         raise ValueError(f"unknown mask_variant {mask_variant!r}")
     b, l = input_ids.shape
@@ -136,6 +137,12 @@ def diffusion_sft_loss(
 
     answer_lengths = jnp.maximum(l - prompt_lengths, 1).astype(jnp.float32)  # [B]
 
+    # When ce_chunk doesn't divide L, shrink to the largest divisor >= 64
+    # instead of silently falling back to full [B, L, V] logits (the memory
+    # cliff chunking exists to avoid — e.g. L=320 under the 512 default).
+    if head_fn is not None and ce_chunk and l % ce_chunk:
+        ce_chunk = next((c for c in range(min(ce_chunk, l), 63, -1)
+                         if l % c == 0), 0)
     if head_fn is not None and ce_chunk and l % ce_chunk == 0:
         hidden, aux = forward_fn(params, noisy, attn_mask, return_hidden=True)
         lse, target_logit = _chunked_ce(head_fn, params, hidden,

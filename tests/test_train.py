@@ -578,9 +578,16 @@ def test_chunked_ce_matches_unchunked(tiny_dense):
         for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
-    # Non-dividing chunk falls back to the plain path (same numbers).
+    # Non-dividing chunk >= 64: shrinks to the largest divisor of L (here
+    # L=32 < 64, so both cases below take the plain path / one-chunk path —
+    # either way the numbers must match the unchunked loss).
     l2 = loss_chunked(params, 7)
     np.testing.assert_allclose(float(l0), float(l2), rtol=1e-6)
+    l3, g3 = jax.value_and_grad(lambda p: loss_chunked(p, 24))(params)
+    np.testing.assert_allclose(float(l0), float(l3), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_train_step_ce_chunk_matches_disabled(tmp_path):
