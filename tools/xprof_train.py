@@ -140,6 +140,12 @@ def decompose(events):
                        reverse=True)[:8],
         "epilogue": sorted(((round(v, 3), k[:90]) for k, v in top_epi.items()),
                            reverse=True)[:8],
+        # The scan_pallas bucket counts anything named custom-call, but the
+        # lowered StableHLO of the train step contains NO custom_calls on
+        # CPU — name the TPU-side ones so the bucket is attributable.
+        "custom_calls": sorted(
+            ((round(v, 3), k[:120]) for k, v in top_scan.items()
+             if "custom-call" in k.lower()), reverse=True)[:8],
     }
     return buckets, tops
 
