@@ -40,7 +40,7 @@ from xprof_ffn import collect_xspace  # noqa: E402
 
 
 def build_step(remat, layers, seq, accum, batch, model, opt_dtype,
-               ce_chunk=256):
+               ce_chunk=256, attn="default"):
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +49,14 @@ def build_step(remat, layers, seq, accum, batch, model, opt_dtype,
         TrainConfig, make_optimizer, make_train_step)
 
     cfg = get_config(model).replace(num_layers=layers)
+    if attn != "default":
+        # 'pallas' forces the flash fwd+bwd kernels in the train step
+        # (make_train_step only downgrades 'auto' to reference, an explicit
+        # impl rides through) — the reference-attention train default dates
+        # from before the head-grouped/fused-rope kernel (round 4) and
+        # materializes [H, S, S] f32 scores per layer (~86 ms/step at 6L
+        # S=2048 in the round-5 ce512 trace).
+        cfg = cfg.replace(attn_impl=attn)
     tcfg = TrainConfig(learning_rate=5e-5, grad_accum=accum,
                        batch_size=batch, max_length=seq, remat=remat,
                        optimizer_state_dtype=opt_dtype,
@@ -151,11 +159,12 @@ def decompose(events):
 
 
 def run_variant(remat, layers, seq, accum, batch, model, opt_dtype, reps=3,
-                ce_chunk=256):
+                ce_chunk=256, attn="default"):
     import jax
 
     cfg, step, params, opt_state, ids, plens = build_step(
-        remat, layers, seq, accum, batch, model, opt_dtype, ce_chunk=ce_chunk)
+        remat, layers, seq, accum, batch, model, opt_dtype, ce_chunk=ce_chunk,
+        attn=attn)
     key = jax.random.key(2)
     params, opt_state, m = step(params, opt_state, ids, plens, key)
     np.asarray(m["loss"])  # compile + warm
@@ -184,7 +193,7 @@ def run_variant(remat, layers, seq, accum, batch, model, opt_dtype, reps=3,
     return {
         "remat": str(remat), "layers": layers, "seq": seq,
         "accum": accum, "microbatch": batch, "model": model,
-        "opt_dtype": opt_dtype, "ce_chunk": ce_chunk,
+        "opt_dtype": opt_dtype, "ce_chunk": ce_chunk, "attn": attn,
         "params_total_b": round(nparams / 1e9, 3),
         "wall_s_per_step": round(wall, 3),
         "onchip_s_per_step": round(span, 3),
@@ -205,6 +214,9 @@ def main():
     ap.add_argument("--opt-dtype", type=str, default="float32")
     ap.add_argument("--variants", type=str, default="full,dots,none")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--attn", type=str, default="default",
+                    help="default | reference | pallas — force the train "
+                         "attention impl (see build_step)")
     ap.add_argument("--ce-chunks", type=str, default="256",
                     help="comma list; 0 = unchunked full-logits CE.  The "
                          "chunk-loop backward accumulates a FULL [D, V] "
@@ -228,7 +240,7 @@ def main():
                 row = run_variant(name_to_remat[v], args.layers, args.seq,
                                   args.accum, args.batch, args.model,
                                   args.opt_dtype, reps=args.reps,
-                                  ce_chunk=cc)
+                                  ce_chunk=cc, attn=args.attn)
             except Exception as e:
                 row = {"remat": v, "ce_chunk": cc,
                        "error": f"{type(e).__name__}: {str(e)[:200]}"}
