@@ -23,10 +23,22 @@ if [ ! -f /tmp/r5q4_done_moe ]; then
 fi
 
 if [ ! -f /tmp/r5q4_done_dense ]; then
-  log "2/2 dense 6L decomposition (fori-rowwise int8 Adam, ce512, full+dots)"
+  log "2/3 dense 6L decomposition (fori-rowwise int8 Adam, ce512, full+dots)"
   timeout 3600 python tools/xprof_train.py --layers 6 --variants full,dots \
     --opt-dtype int8 --ce-chunks 512 > /tmp/r5q4_dense.log 2>&1 \
     && touch /tmp/r5q4_done_dense
   log "dense rc=$?"
+  sleep 150
+fi
+
+# Flash vs reference attention in the TRAIN step: the reference default
+# dates from before the round-4 head-grouped/fused-rope kernel; the ce512
+# trace shows ~86 ms/step of materialized [H,S,S] f32 score fusions.
+if [ ! -f /tmp/r5q4_done_attn ]; then
+  log "3/3 train attention A/B (--attn pallas, full+dots)"
+  timeout 3600 python tools/xprof_train.py --layers 6 --variants full,dots \
+    --opt-dtype int8 --ce-chunks 512 --attn pallas \
+    > /tmp/r5q4_attn.log 2>&1 && touch /tmp/r5q4_done_attn
+  log "attn rc=$?"
 fi
 log "queue #4 complete"
