@@ -467,10 +467,18 @@ def grouped_expert_ffn_pallas(
     manual = os.environ.get("CTDB_GROUPED_MANUAL", "1")
     if not aligned:
         manual = "0"
-    # Sub-tiles per grid step in the manual kernels (A/B knob; the layout
-    # and weight-DMA schedule stay at tile_m granularity — only the per-
+    # Sub-tiles per grid step in the manual kernels (the layout and
+    # weight-DMA schedule stay at tile_m granularity — only the per-
     # grid-step pipeline overhead amortizes; see _gateup_manual_kernel).
-    nsub = int(os.environ.get("CTDB_GROUPED_NSUB", "1"))
+    # Default 2: the round-5 on-chip A/B measured 4.758 -> 4.485 ms/layer
+    # standalone AND 265.5 -> 277.3 onchip tok/s/chip (+4.4%, MFU 0.491 ->
+    # 0.513) on the full llada-moe-7b headline (PERF.json, /tmp/r5q3 logs);
+    # nsub=4 ties standalone, nsub=8 regresses.  A non-dividing nsub falls
+    # back to 1 inside the kernels (tested).
+    try:
+        nsub = int(os.environ.get("CTDB_GROUPED_NSUB", "2"))
+    except ValueError:
+        nsub = 2
     if fused:
         out_padded = grouped_ffn_fused_padded(
             xs_padded, we_gate, we_up, we_down, tile_expert, tile_m,
