@@ -178,13 +178,17 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     """Jitted step over a [A, B, L] microbatch stack (A = grad_accum)."""
     own_forward = forward_fn is None
     if forward_fn is None:
-        # Training defaults to the jnp reference attention: XLA's fused
-        # whole-graph backward beats the Pallas fwd+bwd kernels at the
-        # reference's <=2048+512 sequence budget (measured on v5e: 52 ms vs
-        # 78 ms per 2-layer/1024-seq step).  Pass a cfg with
-        # attn_impl='pallas' via forward_fn for long-context runs.
-        if model_cfg.attn_impl == "auto":
-            model_cfg = model_cfg.replace(attn_impl="reference")
+        # Training attention rides the work-based auto dispatcher (b*h*S^2
+        # threshold, ops/attention.py): at real SFT shapes that is the
+        # Pallas flash fwd+bwd pair, at tiny test shapes the jnp reference.
+        # An earlier default pinned 'reference' here from a pre-head-group
+        # measurement (52 vs 78 ms at 2L/S1024); re-measured round 5 with
+        # the fused-rope head-grouped kernels at the production shape
+        # (llada-2b 6L, S=2048, int8 Adam, ce512): flash wins 0.516 ->
+        # 0.423 s/step onchip, train-MFU 0.400 -> 0.487 — the reference
+        # path's [H, S, S] f32 score fusions + XLA softmax custom-calls
+        # (~150 ms/step) collapse into the flash kernels
+        # (tools/xprof_train.py --attn; PERF.json train_attention_ab).
         forward_fn = make_forward_fn(model_cfg, remat=train_cfg.remat)
     mask_id = model_cfg.mask_token_id
     if mask_id is None:
