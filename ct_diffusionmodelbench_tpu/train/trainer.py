@@ -189,6 +189,17 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         # path's [H, S, S] f32 score fusions + XLA softmax custom-calls
         # (~150 ms/step) collapse into the flash kernels
         # (tools/xprof_train.py --attn; PERF.json train_attention_ab).
+        #
+        # EXCEPT MoE training: flash bwd composed with the ragged-dot
+        # backward inside the scanned MoE layer fails TPU compile
+        # reproducibly (3x HTTP 500 from the remote compile service,
+        # 2026-08-19, which masks the underlying Mosaic/XLA error; MoE
+        # SERVING with flash and dense TRAINING with flash both compile
+        # and run).  Until that composition compiles, MoE training keeps
+        # the reference attention it has always used; force with an
+        # explicit attn_impl='pallas' cfg to re-test.
+        if model_cfg.is_moe and model_cfg.attn_impl == "auto":
+            model_cfg = model_cfg.replace(attn_impl="reference")
         forward_fn = make_forward_fn(model_cfg, remat=train_cfg.remat)
     mask_id = model_cfg.mask_token_id
     if mask_id is None:
