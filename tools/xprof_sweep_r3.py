@@ -159,6 +159,21 @@ def main():
                       "CTDB_GROUPED_MANUAL": "1",
                       "CTDB_GROUPED_COMBINE": "kloop",
                       "CTDB_GROUPED_NSUB": "8"},
+        # round-5: nsub2 combined with the remaining knobs (wider tile_n
+        # via a raised VMEM budget; tile_m 128)
+        "nsub2_v48": {"CTDB_GROUPED_TILE_M": "64",
+                      "CTDB_GROUPED_MANUAL": "1",
+                      "CTDB_GROUPED_COMBINE": "kloop",
+                      "CTDB_GROUPED_NSUB": "2",
+                      "CTDB_GROUPED_VMEM_MB": "48"},
+        "nsub2_tm128": {"CTDB_GROUPED_TILE_M": "128",
+                        "CTDB_GROUPED_MANUAL": "1",
+                        "CTDB_GROUPED_COMBINE": "kloop",
+                        "CTDB_GROUPED_NSUB": "2"},
+        "nsub2_tm32": {"CTDB_GROUPED_TILE_M": "32",
+                       "CTDB_GROUPED_MANUAL": "1",
+                       "CTDB_GROUPED_COMBINE": "kloop",
+                       "CTDB_GROUPED_NSUB": "2"},
     }
 
     rows = []
