@@ -105,6 +105,28 @@ def flash_attention_bwd(qf, kf, vf, bias, of, dof, lse, *, h, kv, dh,
                    * of.astype(jnp.float32).reshape(b, sq_pad, h, dh), axis=-1)
     dsum = dsum.transpose(0, 2, 1).reshape(b * h, sq_pad, 1)
 
+    # Scoped-VMEM limits: without an explicit CompilerParams limit these
+    # kernels get the default ~24 MB scoped-vmem stack, and the dkv kernel's
+    # real footprint exceeds it under GQA — whole [1, Sq, rep*Dh] q/do blocks
+    # plus the [rep, Sq, 1] lse/dsum blocks (whose minor dim lane-pads x128:
+    # 4*2048*128*4 B = 4 MB EACH) double-buffer to ~25.5 MB at the llada-moe
+    # train shape, which failed TPU compile by 1.5 MB (docs/STATUS.md round-5;
+    # the forward solved the same problem at flash_attention.py:375-399).
+    itemsize = jnp.dtype(qf.dtype).itemsize
+    lane = 128  # minor-dim tile width: [.., 1] blocks pad to this
+    dq_blocks = (2 * tq * dh * itemsize          # q, do tiles
+                 + 2 * sk_pad * dh * itemsize    # k, v (whole rows)
+                 + sk_pad * 4                    # bias
+                 + 2 * tq * lane * 4             # lse, dsum (lane-padded)
+                 + tq * dh * 4)                  # dq out (f32)
+    dkv_blocks = (2 * sq_pad * rep * dh * itemsize   # q, do (whole rows)
+                  + 2 * tk * dh * itemsize           # k, v tiles
+                  + tk * 4                           # bias
+                  + 2 * rep * sq_pad * lane * 4      # lse, dsum (lane-padded)
+                  + 2 * tk * dh * 4)                 # dk, dv out (f32)
+    dq_vmem = min(3 * dq_blocks + (6 << 20), 100 << 20)
+    dkv_vmem = min(3 * dkv_blocks + (6 << 20), 100 << 20)
+
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, tk=tk, sk_pad=sk_pad),
         grid=(b, h, sq_pad // tq),
@@ -127,6 +149,7 @@ def flash_attention_bwd(qf, kf, vf, bias, of, dof, lse, *, h, kv, dh,
         out_specs=pl.BlockSpec((1, tq, dh), lambda bi, hi, qi: (bi, qi, hi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, sq_pad, h * dh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=dq_vmem),
         interpret=interpret,
     )(qf, kf, vf, bias, dof, lse, dsum)
 
@@ -161,6 +184,7 @@ def flash_attention_bwd(qf, kf, vf, bias, of, dof, lse, *, h, kv, dh,
             jax.ShapeDtypeStruct((b, sk_pad, kv * dh), jnp.float32),
             jax.ShapeDtypeStruct((b, sk_pad, kv * dh), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=dkv_vmem),
         interpret=interpret,
     )(qf, kf, vf, bias, dof, lse, dsum)
     return dq, dk, dv

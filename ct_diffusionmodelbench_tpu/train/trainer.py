@@ -190,14 +190,17 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         # (~150 ms/step) collapse into the flash kernels
         # (tools/xprof_train.py --attn; PERF.json train_attention_ab).
         #
-        # EXCEPT MoE training: flash bwd composed with the ragged-dot
-        # backward inside the scanned MoE layer fails TPU compile
-        # reproducibly (3x HTTP 500 from the remote compile service,
-        # 2026-08-19, which masks the underlying Mosaic/XLA error; MoE
-        # SERVING with flash and dense TRAINING with flash both compile
-        # and run).  Until that composition compiles, MoE training keeps
-        # the reference attention it has always used; force with an
-        # explicit attn_impl='pallas' cfg to re-test.
+        # EXCEPT MoE training: bisected (2026-08-19) to a scoped-VMEM
+        # overflow in the GQA flash-bwd dkv kernel (~25.5 MB vs the 24 MB
+        # default at the llada-moe train shape; the HTTP 500s from the
+        # remote compile service masked it).  flash_attention_bwd.py now
+        # sets explicit vmem_limit_bytes and the composition compiles and
+        # runs on-chip — but measured SLOWER than reference attention at
+        # the production MoE shape (0.772 vs 0.728 s/step onchip, PERF
+        # train_attention_ab.moe_arm): GQA kv-heads shrink the attention
+        # FLOPs share, so the flash win no longer covers kernel overheads.
+        # MoE training therefore keeps reference attention by measurement;
+        # force with an explicit attn_impl='pallas' cfg to re-test.
         if model_cfg.is_moe and model_cfg.attn_impl == "auto":
             model_cfg = model_cfg.replace(attn_impl="reference")
         forward_fn = make_forward_fn(model_cfg, remat=train_cfg.remat)
